@@ -1,0 +1,305 @@
+"""SLOW5/BLOW5 file reading and writing.
+
+A from-scratch, dependency-free reader/writer for the BLOW5 binary format
+(and the ASCII SLOW5 variant) sufficient for the signal-compression
+framework: it recovers per-read int16 raw-signal arrays plus the primary
+record metadata.
+
+Format knowledge (studied from the reference toolchain's vendored
+slow5lib: sigtk/slow5lib/src/slow5.c - header parse at slow5.c:789-880,
+binary record parse at slow5.c:2840-2915, signal codec framing at
+slow5_press.c:1054-1110):
+
+  fixed header:
+    [magic  "BLOW5\\x01" : 6B]
+    [version major/minor/patch : 3 x u8]
+    [record compression : u8]    0=none 1=zlib 2=zstd
+    [num read groups : u32 LE]
+    [signal compression : u8]    0=none 1=svb-zd  (present for version >= 0.2.0)
+    ... zero padding to byte offset 64 ...
+    [ascii header size : u32 LE]
+    [ascii header : tab-separated @key\\tvalue lines + #char_type / #column
+     lines, exactly `ascii header size` bytes]
+
+  each record:
+    [record size : u64 LE][record payload, record-compressed]
+  decompressed record payload (primary columns in order, slow5_defs.h:84-92):
+    [read_id_len : u16][read_id bytes]
+    [read_group : u32]
+    [digitisation, offset, range, sampling_rate : 4 x f64]
+    [len_raw_signal : u64]   (= number of int16 samples if signal
+                              uncompressed, else compressed byte count)
+    [raw signal bytes]
+    [auxiliary column data ...]
+
+  signal svb-zd codec (slow5_press.c:1054-1082): samples widened to int32,
+  zigzag-delta with prev=0, then classical 32-bit streamvbyte with a
+  leading [count u32 LE], i.e. [count][keys ceil(count/4)B][data].
+"""
+
+from __future__ import annotations
+
+import io as _pyio
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+MAGIC = b"BLOW5\x01"
+HDR_SIZE_OFFSET = 64
+
+RECORD_PRESS_NONE = 0
+RECORD_PRESS_ZLIB = 1
+RECORD_PRESS_ZSTD = 2
+
+SIGNAL_PRESS_NONE = 0
+SIGNAL_PRESS_SVB_ZD = 1
+
+
+@dataclass
+class Blow5Read:
+    """One SLOW5 record's primary fields."""
+
+    read_id: str
+    read_group: int
+    digitisation: float
+    offset: float
+    range: float
+    sampling_rate: float
+    signal: np.ndarray  # int16
+    aux: bytes = b""  # raw trailing auxiliary bytes (opaque, preserved)
+
+
+@dataclass
+class Blow5File:
+    version: tuple = (0, 2, 0)
+    record_press: int = RECORD_PRESS_ZLIB
+    signal_press: int = SIGNAL_PRESS_SVB_ZD
+    num_read_groups: int = 1
+    header: bytes = b""
+    reads: list = field(default_factory=list)
+
+
+def _zigzag_encode32(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int32)
+    return (((x << 1) ^ (x >> 31)).astype(np.uint32))
+
+
+def _zigzag_decode32(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint32)
+    return ((z >> 1) ^ (-(z & 1)).astype(np.uint32)).astype(np.int32)
+
+
+def svb32_encode(values: np.ndarray) -> bytes:
+    """Classical 32-bit streamvbyte (1/2/3/4-byte codes, 2-bit keys).
+
+    Matches the reference's vendored scalar encoder
+    (streamvbyte/src/streamvbyte_encode.c:36-60).
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint32)
+    n = v.size
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    nbytes[v >= (1 << 8)] = 2
+    nbytes[v >= (1 << 16)] = 3
+    nbytes[v >= (1 << 24)] = 4
+    codes = (nbytes - 1).astype(np.uint8)
+    # keys: 2-bit codes packed LSB-first, 4 per byte
+    keylen = (n + 3) // 4
+    codes_p = np.zeros(keylen * 4, dtype=np.uint8)
+    codes_p[:n] = codes
+    codes_p = codes_p.reshape(-1, 4)
+    keys = (
+        codes_p[:, 0]
+        | (codes_p[:, 1] << 2)
+        | (codes_p[:, 2] << 4)
+        | (codes_p[:, 3] << 6)
+    ).astype(np.uint8)
+    # data: little-endian bytes, length per value
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    offs = ends - nbytes
+    data = np.zeros(total, dtype=np.uint8)
+    b0 = (v & 0xFF).astype(np.uint8)
+    b1 = ((v >> 8) & 0xFF).astype(np.uint8)
+    b2 = ((v >> 16) & 0xFF).astype(np.uint8)
+    b3 = ((v >> 24) & 0xFF).astype(np.uint8)
+    data[offs] = b0
+    m2 = nbytes >= 2
+    data[offs[m2] + 1] = b1[m2]
+    m3 = nbytes >= 3
+    data[offs[m3] + 2] = b2[m3]
+    m4 = nbytes >= 4
+    data[offs[m4] + 3] = b3[m4]
+    return keys.tobytes() + data.tobytes()
+
+
+def svb32_decode(buf: bytes, n: int) -> tuple:
+    """Decode n uint32 values; returns (values, bytes_consumed)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32), 0
+    keylen = (n + 3) // 4
+    keys = np.frombuffer(buf[:keylen], dtype=np.uint8)
+    codes = np.zeros(keylen * 4, dtype=np.uint8)
+    codes[0::4] = keys & 3
+    codes[1::4] = (keys >> 2) & 3
+    codes[2::4] = (keys >> 4) & 3
+    codes[3::4] = (keys >> 6) & 3
+    codes = codes[:n]
+    nbytes = codes.astype(np.int64) + 1
+    ends = np.cumsum(nbytes)
+    offs = ends - nbytes
+    total = int(ends[-1])
+    data = np.frombuffer(buf[keylen : keylen + total], dtype=np.uint8)
+    v = data[offs].astype(np.uint32)
+    m = nbytes >= 2
+    v[m] |= data[offs[m] + 1].astype(np.uint32) << 8
+    m = nbytes >= 3
+    v[m] |= data[offs[m] + 2].astype(np.uint32) << 16
+    m = nbytes >= 4
+    v[m] |= data[offs[m] + 3].astype(np.uint32) << 24
+    return v, keylen + total
+
+
+def signal_svb_zd_encode(signal: np.ndarray) -> bytes:
+    """slow5 svb-zd signal codec: [count u32][svb32 of int32 zigzag-delta]."""
+    x = np.ascontiguousarray(signal, dtype=np.int16).astype(np.int32)
+    prev = np.concatenate([[np.int32(0)], x[:-1]])
+    diff = _zigzag_encode32(x - prev)
+    return struct.pack("<I", x.size) + svb32_encode(diff)
+
+
+def signal_svb_zd_decode(buf: bytes) -> np.ndarray:
+    (count,) = struct.unpack_from("<I", buf, 0)
+    diff, _used = svb32_decode(buf[4:], count)
+    deltas = _zigzag_decode32(diff)
+    return np.cumsum(deltas, dtype=np.int32).astype(np.int16)
+
+
+def _decompress_record(payload: bytes, method: int) -> bytes:
+    if method == RECORD_PRESS_NONE:
+        return payload
+    if method == RECORD_PRESS_ZLIB:
+        return zlib.decompress(payload)
+    if method == RECORD_PRESS_ZSTD:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(payload)
+    raise ValueError(f"unknown record compression method {method}")
+
+
+def _compress_record(payload: bytes, method: int) -> bytes:
+    if method == RECORD_PRESS_NONE:
+        return payload
+    if method == RECORD_PRESS_ZLIB:
+        return zlib.compress(payload, 6)
+    if method == RECORD_PRESS_ZSTD:
+        import zstandard
+
+        return zstandard.ZstdCompressor(level=1).compress(payload)
+    raise ValueError(f"unknown record compression method {method}")
+
+
+def parse_record(payload: bytes, signal_press: int) -> Blow5Read:
+    off = 0
+    (rid_len,) = struct.unpack_from("<H", payload, off)
+    off += 2
+    read_id = payload[off : off + rid_len].decode()
+    off += rid_len
+    read_group, digitisation, offset_, range_, sampling_rate, len_raw = (
+        struct.unpack_from("<IddddQ", payload, off)
+    )
+    off += 4 + 8 * 4 + 8
+    if signal_press == SIGNAL_PRESS_NONE:
+        nbytes = int(len_raw) * 2
+        signal = np.frombuffer(payload[off : off + nbytes], dtype="<i2").copy()
+    else:
+        nbytes = int(len_raw)
+        signal = signal_svb_zd_decode(payload[off : off + nbytes])
+    off += nbytes
+    return Blow5Read(
+        read_id=read_id,
+        read_group=read_group,
+        digitisation=digitisation,
+        offset=offset_,
+        range=range_,
+        sampling_rate=sampling_rate,
+        signal=signal,
+        aux=payload[off:],
+    )
+
+
+def build_record(read: Blow5Read, signal_press: int) -> bytes:
+    rid = read.read_id.encode()
+    head = struct.pack("<H", len(rid)) + rid
+    meta = struct.pack(
+        "<Idddd",
+        read.read_group,
+        read.digitisation,
+        read.offset,
+        read.range,
+        read.sampling_rate,
+    )
+    if signal_press == SIGNAL_PRESS_NONE:
+        sig = np.ascontiguousarray(read.signal, dtype="<i2").tobytes()
+        length = read.signal.size
+    else:
+        sig = signal_svb_zd_encode(read.signal)
+        length = len(sig)
+    return head + meta + struct.pack("<Q", length) + sig + read.aux
+
+
+def read_blow5(path: str) -> Blow5File:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:6] != MAGIC:
+        raise ValueError("not a BLOW5 file (bad magic)")
+    major, minor, patch = data[6], data[7], data[8]
+    record_press = data[9]
+    (num_rg,) = struct.unpack_from("<I", data, 10)
+    signal_press = data[14] if (major, minor) >= (0, 2) else SIGNAL_PRESS_NONE
+    (hdr_size,) = struct.unpack_from("<I", data, HDR_SIZE_OFFSET)
+    off = HDR_SIZE_OFFSET + 4
+    header = data[off : off + hdr_size]
+    off += hdr_size
+
+    out = Blow5File(
+        version=(major, minor, patch),
+        record_press=record_press,
+        signal_press=signal_press,
+        num_read_groups=num_rg,
+        header=header,
+    )
+    n = len(data)
+    while off + 8 <= n:
+        (rec_size,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        payload = _decompress_record(data[off : off + rec_size], record_press)
+        off += rec_size
+        out.reads.append(parse_record(payload, signal_press))
+    return out
+
+
+def write_blow5(path: str, f5: Blow5File) -> None:
+    buf = _pyio.BytesIO()
+    buf.write(MAGIC)
+    buf.write(bytes(f5.version))
+    buf.write(bytes([f5.record_press]))
+    buf.write(struct.pack("<I", f5.num_read_groups))
+    buf.write(bytes([f5.signal_press]))
+    buf.write(b"\x00" * (HDR_SIZE_OFFSET - buf.tell()))
+    buf.write(struct.pack("<I", len(f5.header)))
+    buf.write(f5.header)
+    for read in f5.reads:
+        payload = _compress_record(build_record(read, f5.signal_press), f5.record_press)
+        buf.write(struct.pack("<Q", len(payload)))
+        buf.write(payload)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def read_signals(path: str) -> list:
+    """Convenience: list of int16 numpy arrays, one per read."""
+    return [r.signal for r in read_blow5(path).reads]
