@@ -81,6 +81,9 @@ class Blow5File:
     reads: list = field(default_factory=list)
 
 
+from honours_tpu.kernels.svb import svb32_decode, svb32_encode  # noqa: F401
+
+
 def _zigzag_encode32(x: np.ndarray) -> np.ndarray:
     x = x.astype(np.int32)
     return (((x << 1) ^ (x >> 31)).astype(np.uint32))
@@ -89,78 +92,6 @@ def _zigzag_encode32(x: np.ndarray) -> np.ndarray:
 def _zigzag_decode32(z: np.ndarray) -> np.ndarray:
     z = z.astype(np.uint32)
     return ((z >> 1) ^ (-(z & 1)).astype(np.uint32)).astype(np.int32)
-
-
-def svb32_encode(values: np.ndarray) -> bytes:
-    """Classical 32-bit streamvbyte (1/2/3/4-byte codes, 2-bit keys).
-
-    Matches the reference's vendored scalar encoder
-    (streamvbyte/src/streamvbyte_encode.c:36-60).
-    """
-    v = np.ascontiguousarray(values, dtype=np.uint32)
-    n = v.size
-    if n == 0:
-        return b""
-    nbytes = np.ones(n, dtype=np.int64)
-    nbytes[v >= (1 << 8)] = 2
-    nbytes[v >= (1 << 16)] = 3
-    nbytes[v >= (1 << 24)] = 4
-    codes = (nbytes - 1).astype(np.uint8)
-    # keys: 2-bit codes packed LSB-first, 4 per byte
-    keylen = (n + 3) // 4
-    codes_p = np.zeros(keylen * 4, dtype=np.uint8)
-    codes_p[:n] = codes
-    codes_p = codes_p.reshape(-1, 4)
-    keys = (
-        codes_p[:, 0]
-        | (codes_p[:, 1] << 2)
-        | (codes_p[:, 2] << 4)
-        | (codes_p[:, 3] << 6)
-    ).astype(np.uint8)
-    # data: little-endian bytes, length per value
-    ends = np.cumsum(nbytes)
-    total = int(ends[-1])
-    offs = ends - nbytes
-    data = np.zeros(total, dtype=np.uint8)
-    b0 = (v & 0xFF).astype(np.uint8)
-    b1 = ((v >> 8) & 0xFF).astype(np.uint8)
-    b2 = ((v >> 16) & 0xFF).astype(np.uint8)
-    b3 = ((v >> 24) & 0xFF).astype(np.uint8)
-    data[offs] = b0
-    m2 = nbytes >= 2
-    data[offs[m2] + 1] = b1[m2]
-    m3 = nbytes >= 3
-    data[offs[m3] + 2] = b2[m3]
-    m4 = nbytes >= 4
-    data[offs[m4] + 3] = b3[m4]
-    return keys.tobytes() + data.tobytes()
-
-
-def svb32_decode(buf: bytes, n: int) -> tuple:
-    """Decode n uint32 values; returns (values, bytes_consumed)."""
-    if n == 0:
-        return np.zeros(0, dtype=np.uint32), 0
-    keylen = (n + 3) // 4
-    keys = np.frombuffer(buf[:keylen], dtype=np.uint8)
-    codes = np.zeros(keylen * 4, dtype=np.uint8)
-    codes[0::4] = keys & 3
-    codes[1::4] = (keys >> 2) & 3
-    codes[2::4] = (keys >> 4) & 3
-    codes[3::4] = (keys >> 6) & 3
-    codes = codes[:n]
-    nbytes = codes.astype(np.int64) + 1
-    ends = np.cumsum(nbytes)
-    offs = ends - nbytes
-    total = int(ends[-1])
-    data = np.frombuffer(buf[keylen : keylen + total], dtype=np.uint8)
-    v = data[offs].astype(np.uint32)
-    m = nbytes >= 2
-    v[m] |= data[offs[m] + 1].astype(np.uint32) << 8
-    m = nbytes >= 3
-    v[m] |= data[offs[m] + 2].astype(np.uint32) << 16
-    m = nbytes >= 4
-    v[m] |= data[offs[m] + 3].astype(np.uint32) << 24
-    return v, keylen + total
 
 
 def signal_svb_zd_encode(signal: np.ndarray) -> bytes:

@@ -1,0 +1,32 @@
+"""Property tests: depress(press(x)) == x for every registered codec on
+random/adversarial int16 arrays (SURVEY §4 test plan)."""
+
+import numpy as np
+import pytest
+
+from conftest import rng_signals
+
+from honours_tpu.codecs import base as registry
+
+
+def all_codecs():
+    return registry.names()
+
+
+@pytest.mark.parametrize("name", all_codecs())
+def test_roundtrip_adversarial(name):
+    codec = registry.get(name)
+    for i, sig in enumerate(rng_signals()):
+        if name == "uintx_16" and sig.size and sig.view(np.uint16).max() >= 2**16:
+            continue
+        out = codec.depress(codec.press(sig), sig.size)
+        assert out.dtype == np.int16
+        assert np.array_equal(out, sig), f"{name} case {i} (n={sig.size})"
+
+
+@pytest.mark.parametrize("name", all_codecs())
+def test_roundtrip_fixture(name, fixture_reads):
+    codec = registry.get(name)
+    for sig in fixture_reads:
+        out = codec.depress(codec.press(sig), sig.size)
+        assert np.array_equal(out, sig), name
