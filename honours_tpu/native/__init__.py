@@ -1,0 +1,115 @@
+"""Native entropy runtime: ctypes bindings for the C range coder.
+
+The shared library is rebuilt on demand from rangecoder.c whenever the
+source is newer than the binary (no pip deps; plain cc).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_SRCS = [_DIR / "rangecoder.c", _DIR / "segment.c"]
+_SO = _DIR / "librangecoder.so"
+
+_lib = None
+
+
+def _build():
+    subprocess.run(
+        ["cc", "-O3", "-Wall", "-shared", "-fPIC"]
+        + [str(p) for p in _SRCS]
+        + ["-o", str(_SO), "-lm"],
+        check=True,
+        cwd=str(_DIR),
+    )
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        if not _SO.exists() or any(
+            _SO.stat().st_mtime < p.stat().st_mtime for p in _SRCS
+        ):
+            _build()
+        _lib = ctypes.CDLL(str(_SO))
+        for fn in (
+            "ht_rc0_encode",
+            "ht_rc0_decode",
+            "ht_rc1_encode",
+            "ht_rc1_decode",
+            "ht_rccm_encode",
+            "ht_rccm_decode",
+        ):
+            f = getattr(_lib, fn)
+            f.restype = ctypes.c_size_t
+            f.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p] + (
+                [ctypes.c_size_t] if fn.endswith("decode") else []
+            )
+        _lib.ht_find_stall.restype = ctypes.c_int
+        _lib.ht_find_stall.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint16),
+        ]
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def _encode(fn: str, data) -> bytes:
+    d = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.zeros(d.size + d.size // 2 + 1024, dtype=np.uint8)
+    n = getattr(get_lib(), fn)(_ptr(d), d.size, _ptr(out))
+    return out[:n].tobytes()
+
+
+def _decode(fn: str, stream: bytes, n: int) -> np.ndarray:
+    s = np.frombuffer(stream, dtype=np.uint8)
+    out = np.zeros(n, dtype=np.uint8)
+    getattr(get_lib(), fn)(_ptr(s), s.size, _ptr(out), n)
+    return out
+
+
+def rc0_encode(data) -> bytes:
+    return _encode("ht_rc0_encode", data)
+
+
+def rc0_decode(stream: bytes, n: int) -> np.ndarray:
+    return _decode("ht_rc0_decode", stream, n)
+
+
+def rc1_encode(data) -> bytes:
+    return _encode("ht_rc1_encode", data)
+
+
+def rc1_decode(stream: bytes, n: int) -> np.ndarray:
+    return _decode("ht_rc1_decode", stream, n)
+
+
+def rccm_encode(data) -> bytes:
+    return _encode("ht_rccm_encode", data)
+
+
+def rccm_decode(stream: bytes, n: int) -> np.ndarray:
+    return _decode("ht_rccm_decode", stream, n)
+
+
+def find_stall(signal) -> tuple:
+    """(exists, start, length) of the first stall segment
+    (reference: press/press.c:7728-7746 find_stall over jnn_raw)."""
+    sig = np.ascontiguousarray(signal, dtype=np.int16)
+    start = ctypes.c_uint16(0)
+    length = ctypes.c_uint16(0)
+    r = get_lib().ht_find_stall(
+        _ptr(sig), sig.size, ctypes.byref(start), ctypes.byref(length)
+    )
+    return bool(r), start.value, length.value

@@ -1,0 +1,55 @@
+"""Compression-ratio parity for the range-coder family.
+
+The rc/rcc/rccm/rccdf streams use our own wire format (the reference's
+Turbo-Range-Coder formats are replaced by the native binary range coder
+and static-CDF rANS), so parity is asserted on compressed SIZE against
+the captured reference sizes rather than bytes.
+"""
+
+import pathlib
+
+import pytest
+
+from honours_tpu.codecs import base as registry
+
+SIZES = {}
+for line in (
+    pathlib.Path(__file__).parent / "golden" / "ref_sizes.tsv"
+).read_text().splitlines():
+    method, nin, nout = line.split("\t")
+    SIZES[(method, int(nin))] = int(nout)
+
+READS = {0: 7329, 1: 155185, 2: 95350}
+
+# (codec, reference method, allowed size overhead vs reference)
+CASES = [
+    ("rc_vbe21_zd", "rc_vbe21_zd", 1.002),
+    ("rc_vbbe21_zd", "rc_vbbe21_zd", 1.002),
+    ("rc_vbsbe21_zd", "rc_vbsbe21_zd", 1.002),
+    ("rc_vbsse21_zd", "rc_vbsse21_zd", 1.002),
+    ("rcc_vbe21_zd", "rcc_vbe21_zd", 1.005),
+    ("rcc_vbbe21_zd", "rcc_vbbe21_zd", 1.005),
+    ("rccm_vbe21_zd", "rccm_vbe21_zd", 1.005),
+    ("rccm_vbbe21_zd", "rccm_vbbe21_zd", 1.005),
+    ("rccm_vbsbe21_zd", "rccm_vbsbe21_zd", 1.005),
+    ("rccm_vbsse21_zd", "rccm_vbsse21_zd", 1.005),
+    ("rccdf_vbe21_zd", "rccdf_vbe21_zd", 1.01),
+    ("rccdf_vbbe21_zd", "rccdf_vbbe21_zd", 1.01),
+    ("rccm_svbbe21_zd", "rccm_svbbe21_zd", 1.01),
+    ("dstall_fz_1500", "dstall_fz_1500", 1.01),
+    ("dstall_fz", "dstall_fz", 1.01),
+    ("rccm_vbbe21_submin", "rccm_vbbe21_submin", 1.01),
+    ("rc_zd", "rc_zd", 1.03),
+    ("rccm_svb_zd", "rccm_svb_zd", 1.01),
+    ("rccm_svb12_zd", "rccm_svb12_zd", 1.01),
+]
+
+
+@pytest.mark.parametrize("codec_name,ref_name,tol", CASES)
+def test_size_parity(codec_name, ref_name, tol, fixture_reads):
+    codec = registry.get(codec_name)
+    ours = sum(len(codec.press(s)) for s in fixture_reads)
+    ref = sum(SIZES[(ref_name, n)] for n in READS.values())
+    assert ours <= ref * tol, (
+        f"{codec_name}: ours {ours} vs reference {ref} (tol {tol})"
+    )
