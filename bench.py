@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Benchmark driver: VBZ-class pipeline on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Measured quantity: encode+decode throughput of the svb16-zd (VBZ
+container) batched TPU engine on fixture-derived signal, GB/s per chip,
+total bytes / (t_enc + t_dec).  Baseline: the reference's single-core
+zstd-svb-zd encode+decode on the NA12878 corpus
+(BASELINE.md: 113.471 GB x2 / (388.1 s + 381.8 s) = 0.295 GB/s).
+
+Also reported (extra fields): srans flagship throughput and the
+compressed ratios of the VBZ-equivalent (zstd over the TPU svb16-zd
+stream) and srans_vbbe21_zd on the same data.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_VBZ_ENC_DEC_GBPS = 2 * 113.471 / (388.1 + 381.8)
+
+B = 64
+L = 1 << 16
+REPS = 4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_batch():
+    from honours_tpu.io.blow5 import read_signals
+
+    reads = read_signals("tests/data/three-reads.blow5")
+    chunks = []
+    for s in reads:
+        for i in range(0, s.size - L + 1, L):
+            chunks.append(s[i : i + L])
+    while len(chunks) < B:
+        chunks = chunks + chunks
+    return np.stack(chunks[:B])
+
+
+def timed(fn, sync, reps=REPS):
+    fn()  # warm
+    sync()
+    t0 = time.time()
+    for _ in range(reps):
+        fn()
+    sync()
+    return (time.time() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from honours_tpu.engine.pipeline import (
+        canned_rans_tables,
+        depress_srans_batch,
+        press_srans_batch,
+    )
+    from honours_tpu.engine.svb16 import svb16_decode_batch, svb16_encode_batch
+
+    log("devices:", jax.devices())
+    base = build_batch()
+    nbytes = base.size * 2
+    sig = jnp.asarray(base)
+    n = jnp.full((B,), L, jnp.int32)
+
+    def sync():
+        # cheap full sync: fetch a scalar derived from a fresh computation
+        float(jnp.sum(n))
+
+    # ---- VBZ container on TPU ----
+    log("compiling svb16 engines...")
+    stream, out_len = svb16_encode_batch(sig, n, zd=True)
+    dec = svb16_decode_batch(stream, n, L, zd=True)
+    ok = bool(jnp.all(dec == sig))
+    comp_svb = int(jnp.sum(out_len))
+
+    t_enc = timed(
+        lambda: float(jnp.sum(svb16_encode_batch(sig, n, zd=True)[1])), sync
+    )
+    t_dec = timed(
+        lambda: float(
+            jnp.sum(
+                svb16_decode_batch(stream, n, L, zd=True).astype(jnp.int32)
+            )
+        ),
+        sync,
+    )
+    gbps = 2 * nbytes / (t_enc + t_dec) / 1e9
+    log(
+        f"svb16-zd TPU: enc {nbytes / t_enc / 1e9:.2f} GB/s, "
+        f"dec {nbytes / t_dec / 1e9:.2f} GB/s, lossless={ok}"
+    )
+
+    # VBZ = zstd over the svb16 stream (host stage, level 1 like the ref)
+    import zstandard
+
+    cctx = zstandard.ZstdCompressor(level=1)
+    stream_np = np.asarray(stream)
+    lens_np = np.asarray(out_len)
+    t0 = time.time()
+    vbz_bytes = sum(
+        len(cctx.compress(stream_np[i, : lens_np[i]].tobytes())) + 4
+        for i in range(B)
+    )
+    t_zstd = time.time() - t0
+    vbz_ratio = nbytes / vbz_bytes
+    log(f"VBZ (zstd over svb16-zd): ratio {vbz_ratio:.4f}, host zstd {t_zstd:.2f}s")
+
+    # ---- srans flagship ----
+    log("compiling srans pipeline...")
+    freqs, cum, slot_sym = canned_rans_tables()
+    s2, l2 = press_srans_batch(sig, n, freqs, cum)
+    srans_ratio = nbytes / int(jnp.sum(l2))
+    d2 = depress_srans_batch(s2, n, freqs, cum, slot_sym, L)
+    srans_ok = bool(jnp.all(d2 == sig))
+    t_enc2 = timed(
+        lambda: float(jnp.sum(press_srans_batch(sig, n, freqs, cum)[1])), sync
+    )
+    t_dec2 = timed(
+        lambda: float(
+            jnp.sum(
+                depress_srans_batch(s2, n, freqs, cum, slot_sym, L).astype(
+                    jnp.int32
+                )
+            )
+        ),
+        sync,
+    )
+    srans_gbps = 2 * nbytes / (t_enc2 + t_dec2) / 1e9
+    log(
+        f"srans: enc {nbytes / t_enc2 / 1e9:.2f} GB/s, dec "
+        f"{nbytes / t_dec2 / 1e9:.2f} GB/s, ratio {srans_ratio:.4f}, "
+        f"lossless={srans_ok}"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "vbz_svb16zd_enc_dec_GBps_per_chip",
+                "value": round(gbps, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(gbps / BASELINE_VBZ_ENC_DEC_GBPS, 2),
+                "extra": {
+                    "svb16_enc_GBps": round(nbytes / t_enc / 1e9, 4),
+                    "svb16_dec_GBps": round(nbytes / t_dec / 1e9, 4),
+                    "svb16_lossless": ok,
+                    "vbz_ratio": round(vbz_ratio, 4),
+                    "srans_enc_GBps": round(nbytes / t_enc2 / 1e9, 4),
+                    "srans_dec_GBps": round(nbytes / t_dec2 / 1e9, 4),
+                    "srans_ratio": round(srans_ratio, 4),
+                    "srans_lossless": srans_ok,
+                    "batch": [B, L],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Command-line interface.
+
+  python -m honours_tpu press   IN.blow5 OUT.blow5 [--codec NAME]
+  python -m honours_tpu depress IN.blow5 OUT.blow5 [--signal-codec NAME]
+  python -m honours_tpu bench   IN.blow5 [--methods a,b][--per-read]
+  python -m honours_tpu codecs
+
+`press` rewrites a SLOW5/BLOW5 file with the signal field compressed by
+any registered codec (default: the srans flagship); `depress` restores a
+stock BLOW5 (svb-zd signal, zlib records) readable by standard tooling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="honours_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("press", help="compress signal field with a codec")
+    p.add_argument("infile")
+    p.add_argument("outfile")
+    p.add_argument("--codec", default="srans_vbbe21_zd")
+
+    d = sub.add_parser("depress", help="restore stock BLOW5")
+    d.add_argument("infile")
+    d.add_argument("outfile")
+
+    b = sub.add_parser("bench", help="round-trip benchmark (reference TSV)")
+    b.add_argument("file")
+    b.add_argument("--methods", default=None)
+    b.add_argument("--per-read", action="store_true")
+
+    sub.add_parser("codecs", help="list registered codecs")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "codecs":
+        from honours_tpu.codecs import base as registry
+
+        print("\n".join(registry.names()))
+        return 0
+
+    if args.cmd == "bench":
+        from honours_tpu.bench import harness
+
+        forward = [args.file]
+        if args.methods:
+            forward += ["--methods", args.methods]
+        if args.per_read:
+            forward += ["--per-read"]
+        return harness.main(forward)
+
+    from honours_tpu.io import blow5
+
+    f5 = blow5.read_blow5(args.infile)
+    if args.cmd == "press":
+        blow5.write_blow5(args.outfile, f5, signal_codec=args.codec)
+    else:
+        f5.signal_press = blow5.SIGNAL_PRESS_SVB_ZD
+        blow5.write_blow5(args.outfile, f5)
+    print(
+        f"{args.infile} ({os.path.getsize(args.infile)} B) -> "
+        f"{args.outfile} ({os.path.getsize(args.outfile)} B)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

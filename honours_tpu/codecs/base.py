@@ -64,11 +64,14 @@ def _ensure_loaded():
     # import for registration side effects
     from honours_tpu.codecs import (  # noqa: F401
         exzd,
+        flac,
+        flats,
         generic,
         huffman,
         raw,
         rc,
         rice,
+        srans,
         stall,
         svb,
         uintc,

@@ -47,11 +47,14 @@ def uint_depress_u32(stream: bytes, n: int) -> np.ndarray:
 
 
 class UintxCodec(Codec):
-    """Fixed-width bitpack with no header (press/press.c:55-72)."""
+    """Fixed-width bitpack with no header (press/press.c:55-72).
 
-    def __init__(self, bits: int):
+    Only lossless when every uint16 sample fits `bits` bits (the
+    reference's uint11 benchmark assumes 11-significant-bit P11 data)."""
+
+    def __init__(self, bits: int, name: str = None):
         self.bits = bits
-        self.name = f"uintx_{bits}"
+        self.name = name or f"uintx_{bits}"
 
     def bound(self, nin: int) -> int:
         return (nin * self.bits + 7) // 8
@@ -143,6 +146,7 @@ class UintZsmCodec(Codec):
 
 
 register(UintxCodec(16))
+register(UintxCodec(11, name="uint11"))
 register(UintCodec())
 register(UintSubminCodec())
 register(UintZdCodec())

@@ -1,0 +1,134 @@
+"""Flagship batched pipelines: zd -> vbbe21 -> {static huffman | static rANS}.
+
+Byte-identical to the serial codecs `shuffman_vbbe21_zd` (encode) and
+`srans_vbbe21_zd` (encode+decode), so the host and TPU sides interoperate
+freely.  Reads enter as a padded [B, L] int16 batch with a length vector.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from honours_tpu.engine.bits import rowwise_concat, u16le_bytes
+from honours_tpu.engine.entropy import (
+    make_tables,
+    rans_decode_batch,
+    rans_encode_batch,
+    shuff_encode_batch,
+)
+from honours_tpu.engine.vbbe21 import (
+    vbbe21_decode_batch,
+    vbbe21_parts_batch,
+)
+from honours_tpu.kernels.rans import K_DEFAULT
+from honours_tpu.transforms.core import jnp_unzigdelta, jnp_zigdelta
+
+
+def _zd_parts(sig, n):
+    """zigzag-delta then split first value vs rest (vb operates on zd[1:])."""
+    B, L = sig.shape
+    zd = jnp_zigdelta(sig)
+    zd0 = zd[:, 0]
+    rest = jnp.concatenate([zd[:, 1:], jnp.zeros((B, 1), zd.dtype)], axis=1)
+    return zd0, rest
+
+
+@functools.partial(jax.jit, static_argnames=())
+def press_srans_batch(sig, n, freqs, cum):
+    """Batched srans_vbbe21_zd encode -> (stream [B, M] u8, len [B])."""
+    B, L = sig.shape
+    zd0, rest = _zd_parts(sig, n)
+    parts = vbbe21_parts_batch(rest, n - 1)
+    body, body_len = rans_encode_batch(parts["data"], parts["data_len"], freqs, cum)
+    segs = (
+        [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32))]
+        + parts["exsegs"]
+        + [(body, body_len)]
+    )
+    total = 2 + 4 + (4 + 4 * L + 1) + (4 + 2 * L + 1) + 6 + body.shape[1]
+    return rowwise_concat(segs, total)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "K"))
+def depress_srans_batch(stream, n, freqs, cum, slot_sym, L: int,
+                        K: int = K_DEFAULT):
+    """Batched srans_vbbe21_zd decode -> [B, L] int16."""
+    from honours_tpu.engine.bits import read_u16le
+
+    B, Mb = stream.shape
+    zd0 = read_u16le(stream, jnp.zeros((B,), jnp.int32))
+    # exception block starts at byte 2; entropy-decode residual first:
+    # we must locate the entropy body, which requires parsing the ex block.
+    v_dummy = jnp.zeros((B, L), jnp.int32)
+    # vbbe21_decode_batch parses the ex block and takes decoded data; to get
+    # the data we need end_off first — parse in two passes.
+    _, end_off, nex = vbbe21_decode_batch(
+        stream, jnp.full((B,), 2, jnp.int32), n - 1, v_dummy, L
+    )
+    data = rans_decode_batch(
+        stream, end_off, n - 1 - nex, freqs, cum, slot_sym, L, K
+    )
+    vals, _, _ = vbbe21_decode_batch(
+        stream, jnp.full((B,), 2, jnp.int32), n - 1, data, L
+    )
+    # reassemble zd: [zd0, vals[:n-1]]
+    zd = jnp.concatenate([zd0[:, None].astype(jnp.int32), vals[:, : L - 1]], axis=1)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    zd = jnp.where(pos < n[:, None], zd, 0)
+    out = jnp_unzigdelta(zd)
+    return jnp.where(pos < n[:, None], out, 0).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def press_shuff_batch(sig, n, lengths, codes):
+    """Batched shuffman_vbbe21_zd encode -> (stream [B, M] u8, len [B])."""
+    B, L = sig.shape
+    zd0, rest = _zd_parts(sig, n)
+    parts = vbbe21_parts_batch(rest, n - 1)
+    blob, blob_len = shuff_encode_batch(
+        parts["data"], parts["data_len"], lengths, codes
+    )
+    segs = (
+        [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32))]
+        + parts["exsegs"]
+        + [(blob, blob_len)]
+    )
+    total = 2 + 4 + (4 + 4 * L + 1) + (4 + 2 * L + 1) + 6 + blob.shape[1]
+    return rowwise_concat(segs, total)
+
+
+# ---------------------------------------------------------------------------
+# host-facing helpers
+# ---------------------------------------------------------------------------
+
+
+def canned_rans_tables():
+    from honours_tpu.codecs.srans import canned_freqs
+
+    return make_tables(canned_freqs())
+
+
+def canned_huffman_tables():
+    from honours_tpu.tables.huffman import na12878_table
+
+    t = na12878_table()
+    return jnp.asarray(t.lengths, jnp.int32), jnp.asarray(
+        t.codes.astype(np.uint32), jnp.uint32
+    )
+
+
+def pad_batch(signals, L=None):
+    """Pack a list of int16 reads into ([B, L] int16, lengths [B])."""
+    L = L or max(s.size for s in signals)
+    L = -(-L // 8) * 8
+    B = len(signals)
+    sig = np.zeros((B, L), dtype=np.int16)
+    n = np.zeros(B, dtype=np.int32)
+    for i, s in enumerate(signals):
+        sig[i, : s.size] = s
+        n[i] = s.size
+    return jnp.asarray(sig), jnp.asarray(n)

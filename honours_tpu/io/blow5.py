@@ -55,6 +55,9 @@ RECORD_PRESS_ZSTD = 2
 
 SIGNAL_PRESS_NONE = 0
 SIGNAL_PRESS_SVB_ZD = 1
+#: extension: any registered honours_tpu codec, named in the ascii header
+#: via an "@htpu_signal_codec\t<name>" line; signal blob = [nin:u32][stream]
+SIGNAL_PRESS_HTPU = 0xF0
 
 
 @dataclass
@@ -133,7 +136,7 @@ def _compress_record(payload: bytes, method: int) -> bytes:
     raise ValueError(f"unknown record compression method {method}")
 
 
-def parse_record(payload: bytes, signal_press: int) -> Blow5Read:
+def parse_record(payload: bytes, signal_press: int, signal_codec=None) -> Blow5Read:
     off = 0
     (rid_len,) = struct.unpack_from("<H", payload, off)
     off += 2
@@ -146,9 +149,16 @@ def parse_record(payload: bytes, signal_press: int) -> Blow5Read:
     if signal_press == SIGNAL_PRESS_NONE:
         nbytes = int(len_raw) * 2
         signal = np.frombuffer(payload[off : off + nbytes], dtype="<i2").copy()
-    else:
+    elif signal_press == SIGNAL_PRESS_SVB_ZD:
         nbytes = int(len_raw)
         signal = signal_svb_zd_decode(payload[off : off + nbytes])
+    elif signal_press == SIGNAL_PRESS_HTPU:
+        nbytes = int(len_raw)
+        blob = payload[off : off + nbytes]
+        (nin,) = struct.unpack_from("<I", blob, 0)
+        signal = np.asarray(signal_codec.depress(blob[4:], nin), dtype=np.int16)
+    else:
+        raise ValueError(f"unhandled signal compression {signal_press}")
     off += nbytes
     return Blow5Read(
         read_id=read_id,
@@ -162,7 +172,7 @@ def parse_record(payload: bytes, signal_press: int) -> Blow5Read:
     )
 
 
-def build_record(read: Blow5Read, signal_press: int) -> bytes:
+def build_record(read: Blow5Read, signal_press: int, signal_codec=None) -> bytes:
     rid = read.read_id.encode()
     head = struct.pack("<H", len(rid)) + rid
     meta = struct.pack(
@@ -176,9 +186,15 @@ def build_record(read: Blow5Read, signal_press: int) -> bytes:
     if signal_press == SIGNAL_PRESS_NONE:
         sig = np.ascontiguousarray(read.signal, dtype="<i2").tobytes()
         length = read.signal.size
-    else:
+    elif signal_press == SIGNAL_PRESS_SVB_ZD:
         sig = signal_svb_zd_encode(read.signal)
         length = len(sig)
+    elif signal_press == SIGNAL_PRESS_HTPU:
+        x = np.ascontiguousarray(read.signal, dtype=np.int16)
+        sig = struct.pack("<I", x.size) + signal_codec.press(x)
+        length = len(sig)
+    else:
+        raise ValueError(f"unhandled signal compression {signal_press}")
     return head + meta + struct.pack("<Q", length) + sig + read.aux
 
 
@@ -203,17 +219,49 @@ def read_blow5(path: str) -> Blow5File:
         num_read_groups=num_rg,
         header=header,
     )
+    signal_codec = None
+    if signal_press == SIGNAL_PRESS_HTPU:
+        name = htpu_codec_name(header)
+        if name is None:
+            raise ValueError("htpu signal compression but no @htpu_signal_codec")
+        from honours_tpu.codecs import base as _registry
+
+        signal_codec = _registry.get(name)
     n = len(data)
     while off + 8 <= n:
         (rec_size,) = struct.unpack_from("<Q", data, off)
         off += 8
         payload = _decompress_record(data[off : off + rec_size], record_press)
         off += rec_size
-        out.reads.append(parse_record(payload, signal_press))
+        out.reads.append(parse_record(payload, signal_press, signal_codec))
     return out
 
 
-def write_blow5(path: str, f5: Blow5File) -> None:
+def htpu_codec_name(header: bytes):
+    for line in header.split(b"\n"):
+        if line.startswith(b"@htpu_signal_codec\t"):
+            return line.split(b"\t", 1)[1].decode().strip()
+    return None
+
+
+def write_blow5(path: str, f5: Blow5File, signal_codec: str = None) -> None:
+    """Write a BLOW5 file; signal_codec selects any registered codec for the
+    signal field (stored as the @htpu_signal_codec header line)."""
+    codec = None
+    if signal_codec is not None:
+        from honours_tpu.codecs import base as _registry
+
+        codec = _registry.get(signal_codec)
+        f5.signal_press = SIGNAL_PRESS_HTPU
+        if htpu_codec_name(f5.header) != signal_codec:
+            lines = [
+                ln
+                for ln in f5.header.split(b"\n")
+                if not ln.startswith(b"@htpu_signal_codec\t")
+            ]
+            tag = b"@htpu_signal_codec\t" + signal_codec.encode()
+            lines.insert(1 if lines else 0, tag)
+            f5.header = b"\n".join(lines)
     buf = _pyio.BytesIO()
     buf.write(MAGIC)
     buf.write(bytes(f5.version))
@@ -224,7 +272,9 @@ def write_blow5(path: str, f5: Blow5File) -> None:
     buf.write(struct.pack("<I", len(f5.header)))
     buf.write(f5.header)
     for read in f5.reads:
-        payload = _compress_record(build_record(read, f5.signal_press), f5.record_press)
+        payload = _compress_record(
+            build_record(read, f5.signal_press, codec), f5.record_press
+        )
         buf.write(struct.pack("<Q", len(payload)))
         buf.write(payload)
     with open(path, "wb") as f:

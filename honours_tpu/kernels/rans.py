@@ -53,15 +53,23 @@ def normalize_freqs(counts: np.ndarray) -> np.ndarray:
 
 
 def rans_encode(data: np.ndarray, K: int = K_DEFAULT) -> bytes:
+    """Per-read table embedded in the stream."""
     d = np.asarray(data, dtype=np.uint8)
-    n = d.size
     counts = np.bincount(d, minlength=256)
     freqs = normalize_freqs(counts)
-    cum = np.concatenate([[0], np.cumsum(freqs)])[:256]
     present = freqs > 0
     header = np.packbits(present.astype(np.uint8), bitorder="little").tobytes()
     # store f-1 so the degenerate single-symbol histogram (f == M) fits
     header += pack_bits(freqs[present] - 1, PROB_BITS)
+    return header + rans_encode_static(d, freqs, K)
+
+
+def rans_encode_static(data: np.ndarray, freqs: np.ndarray, K: int = K_DEFAULT) -> bytes:
+    """Body only — caller supplies the (shared/canned) normalized table."""
+    d = np.asarray(data, dtype=np.uint8)
+    n = d.size
+    freqs = np.asarray(freqs, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(freqs)])[:256]
 
     f_of = freqs[d].astype(np.uint64)
     c_of = cum[d].astype(np.uint64)
@@ -91,7 +99,7 @@ def rans_encode(data: np.ndarray, K: int = K_DEFAULT) -> bytes:
             lane_n[lo] += 1
             x[over] >>= np.uint64(8)
         states[la] = (x // f << np.uint64(PROB_BITS)) + (x % f) + c
-    out = [header]
+    out = []
     out.append(states.astype("<u4").tobytes())
     out.append(lane_n.astype("<u4").tobytes())
     for i in range(K):
@@ -112,9 +120,17 @@ def rans_decode(stream: bytes, n: int, K: int = K_DEFAULT) -> np.ndarray:
     off += fbits_len
     freqs = np.zeros(256, dtype=np.int64)
     freqs[present] = fvals.astype(np.int64) + 1
+    return rans_decode_static(stream[off:], n, freqs, K)
+
+
+def rans_decode_static(stream: bytes, n: int, freqs: np.ndarray,
+                       K: int = K_DEFAULT) -> np.ndarray:
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    freqs = np.asarray(freqs, dtype=np.int64)
     cum = np.concatenate([[0], np.cumsum(freqs)])[:256]
     # slot -> symbol LUT
     slot_sym = np.repeat(np.arange(256, dtype=np.uint8), freqs)
+    off = 0
     states = (
         np.frombuffer(stream, dtype="<u4", count=K, offset=off)
         .astype(np.uint64)

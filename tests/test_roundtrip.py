@@ -17,8 +17,8 @@ def all_codecs():
 def test_roundtrip_adversarial(name):
     codec = registry.get(name)
     for i, sig in enumerate(rng_signals()):
-        if name == "uintx_16" and sig.size and sig.view(np.uint16).max() >= 2**16:
-            continue
+        if name == "uint11" and sig.size and sig.view(np.uint16).max() >= 2**11:
+            continue  # fixed 11-bit pack is only lossless for 11-bit data
         out = codec.depress(codec.press(sig), sig.size)
         assert out.dtype == np.int16
         assert np.array_equal(out, sig), f"{name} case {i} (n={sig.size})"
