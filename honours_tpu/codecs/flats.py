@@ -81,8 +81,10 @@ def partition_flats(u: np.ndarray, step: int = 64):
 class FlatUintSubminCodec(Codec):
     name = "flat_uint_submin"
 
-    def __init__(self, step: int = 64):
-        self.step = step
+    def __init__(self, step: int = None):
+        from honours_tpu.utils.config import get_config
+
+        self.step = step or get_config().flats_step
 
     def bound(self, nin: int) -> int:
         return 8 + nin * 3 + 64

@@ -28,19 +28,21 @@ import numpy as np
 
 from honours_tpu.codecs.base import Codec, register
 
+from honours_tpu.utils.config import get_config
+
 try:
     import zstandard as _zstd
 
-    _ZSTD_C = _zstd.ZstdCompressor(level=1)
+    _ZSTD_C = _zstd.ZstdCompressor(level=get_config().zstd_level)
     _ZSTD_D = _zstd.ZstdDecompressor()
 except ImportError:  # pragma: no cover
     _zstd = None
 
-_LZMA2_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": 6}]
+_LZMA2_FILTERS = [{"id": lzma.FILTER_LZMA2, "preset": get_config().lzma2_preset}]
 
 
 def zlib_press(data: bytes) -> bytes:
-    return zlib.compress(data, -1)
+    return zlib.compress(data, get_config().zlib_level)
 
 
 def zlib_depress(data: bytes) -> bytes:
@@ -56,7 +58,7 @@ def zstd_depress(data: bytes) -> bytes:
 
 
 def bzip2_press(data: bytes) -> bytes:
-    return bz2.compress(data, 9)
+    return bz2.compress(data, get_config().bzip2_level)
 
 
 def bzip2_depress(data: bytes) -> bytes:

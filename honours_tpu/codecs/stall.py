@@ -20,17 +20,19 @@ import numpy as np
 
 from honours_tpu import native
 from honours_tpu.codecs.base import Codec, get, register
+from honours_tpu.utils.config import get_config
 
 
 def _stall_press(signal: np.ndarray, threshold: int) -> bytes:
     x = np.asarray(signal, dtype=np.int16)
+    margin = get_config().stall_margin
     exists, start, length = native.find_stall(x)
     if length < threshold:
         exists, start, length = False, 0, 0
     out = [bytes([1 if exists else 0])]
     if exists:
-        start += 20
-        length -= 40
+        start += margin
+        length -= 2 * margin
         stall_blob = get("rccm_vbbe21_submin").press(x[start : start + length])
         out.append(struct.pack("<HHH", start, length, len(stall_blob)))
         out.append(stall_blob)
@@ -66,7 +68,10 @@ class StallFzCodec(Codec):
     """rccm_svbbe21_zd — always-try-stall with threshold 140."""
 
     name = "rccm_svbbe21_zd"
-    threshold = 140
+
+    @property
+    def threshold(self):
+        return get_config().stall_threshold
 
     def bound(self, nin: int) -> int:
         return 16 + 4 * nin + 1024
@@ -80,7 +85,10 @@ class StallFzCodec(Codec):
 
 class DstallFz1500Codec(StallFzCodec):
     name = "dstall_fz_1500"
-    threshold = 1500
+
+    @property
+    def threshold(self):
+        return get_config().dstall_threshold
 
 
 class DstallFzCodec(Codec):
@@ -92,7 +100,7 @@ class DstallFzCodec(Codec):
         return 16 + 4 * nin + 1024
 
     def press(self, signal):
-        with_stall = _stall_press(signal, 140)
+        with_stall = _stall_press(signal, get_config().stall_threshold)
         ns_blob = get("rccm_vbbe21_zd").press(signal)
         without = bytes([0]) + struct.pack("<I", len(ns_blob)) + ns_blob
         return with_stall if len(with_stall) < len(without) else without

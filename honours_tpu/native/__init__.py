@@ -14,7 +14,7 @@ from pathlib import Path
 import numpy as np
 
 _DIR = Path(__file__).parent
-_SRCS = [_DIR / "rangecoder.c", _DIR / "segment.c"]
+_SRCS = [_DIR / "rangecoder.c", _DIR / "segment.c", _DIR / "blow5io.c"]
 _SO = _DIR / "librangecoder.so"
 
 _lib = None
@@ -24,7 +24,7 @@ def _build():
     subprocess.run(
         ["cc", "-O3", "-Wall", "-shared", "-fPIC"]
         + [str(p) for p in _SRCS]
-        + ["-o", str(_SO), "-lm"],
+        + ["-o", str(_SO), "-lm", "-lz"],
         check=True,
         cwd=str(_DIR),
     )
@@ -51,6 +51,15 @@ def get_lib():
             f.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p] + (
                 [ctypes.c_size_t] if fn.endswith("decode") else []
             )
+        _lib.ht_blow5_scan.restype = ctypes.c_int64
+        _lib.ht_blow5_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        _lib.ht_zlib_inflate.restype = ctypes.c_int64
+        _lib.ht_zlib_inflate.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ]
         _lib.ht_find_stall.restype = ctypes.c_int
         _lib.ht_find_stall.argtypes = [
             ctypes.c_void_p,
@@ -113,3 +122,23 @@ def find_stall(signal) -> tuple:
         _ptr(sig), sig.size, ctypes.byref(start), ctypes.byref(length)
     )
     return bool(r), start.value, length.value
+
+
+def blow5_scan(data: np.ndarray, start: int, max_records: int):
+    """Native record scan: returns (offsets, sizes) arrays."""
+    offsets = np.zeros(max_records, np.uint64)
+    sizes = np.zeros(max_records, np.uint64)
+    n = get_lib().ht_blow5_scan(
+        _ptr(data), data.size, start, _ptr(offsets), _ptr(sizes), max_records
+    )
+    if n < 0:
+        raise ValueError("truncated blow5 record stream")
+    return offsets[:n], sizes[:n]
+
+
+def zlib_inflate(data: np.ndarray, out_cap: int) -> np.ndarray:
+    out = np.zeros(out_cap, np.uint8)
+    n = get_lib().ht_zlib_inflate(_ptr(data), data.size, _ptr(out), out_cap)
+    if n < 0:
+        raise ValueError("zlib inflate failed")
+    return out[:n]
