@@ -7,12 +7,17 @@ multi-chip path; benches run on the real chip).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: outer env may preset it
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# The axon TPU plugin pins jax_platforms via jax.config at interpreter
+# start (sitecustomize), so the env var alone is NOT enough — override
+# through jax.config before any backend is initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
