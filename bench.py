@@ -18,12 +18,25 @@ stream) and srans_vbbe21_zd on the same data.
 from __future__ import annotations
 
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
 BASELINE_VBZ_ENC_DEC_GBPS = 2 * 113.471 / (388.1 + 381.8)
+
+#: hard wall-clock budget; the axon tunnel can wedge indefinitely and a
+#: hung bench must still emit its JSON line
+BUDGET_S = int(__import__("os").environ.get("HTPU_BENCH_BUDGET_S", "1500"))
+
+
+class BenchTimeout(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise BenchTimeout()
 
 B = 64
 L = 1 << 16
@@ -168,4 +181,24 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(BUDGET_S)
+    try:
+        main()
+    except BenchTimeout:
+        log("bench timed out (TPU tunnel wedged?) — emitting sentinel")
+        print(
+            json.dumps(
+                {
+                    "metric": "vbz_svb16zd_enc_dec_GBps_per_chip",
+                    "value": 0.0,
+                    "unit": "GB/s",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": "timeout: TPU unreachable"},
+                }
+            )
+        )
+        # the wedged jax call may never unwind past the exception; force exit
+        import os
+
+        os._exit(0)

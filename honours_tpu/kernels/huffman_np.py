@@ -55,32 +55,50 @@ def make_decode_lut(table: HuffmanTable, width: int = None):
     return sym_lut, len_lut
 
 
+_LUT_CACHE = {}
+
+
 def huffman_decode(stream: bytes, n: int, table: HuffmanTable) -> np.ndarray:
-    """Decode n symbols from an LSB-first bit stream."""
+    """Decode n symbols from an LSB-first bit stream (native LUT walk)."""
     if n == 0:
         return np.zeros(0, dtype=np.uint8)
     if table.max_len == 0:
         # degenerate single-symbol table: zero-bit codes
         return np.full(n, table.present()[0], dtype=np.uint8)
-    sym_lut, len_lut = make_decode_lut(table)
-    width = table.max_len
-    mask = (1 << width) - 1
+    if table.max_len > 24:
+        return _huffman_decode_bitwalk(stream, n, table)
+    key = (id(table), table.max_len)
+    luts = _LUT_CACHE.get(key)
+    if luts is None:
+        luts = make_decode_lut(table)
+        _LUT_CACHE[key] = luts
+    sym_lut, len_lut = luts
+    from honours_tpu import native
+
+    return native.huffman_decode_lut(stream, n, sym_lut, len_lut, table.max_len)
+
+
+def _huffman_decode_bitwalk(stream: bytes, n: int, table: HuffmanTable):
+    """Fallback for pathologically deep dynamic tables (> 24-bit codes)."""
+    # first-match decode against (len, code) pairs, LSB-first
+    pairs = [(int(table.lengths[s]), int(table.codes[s]), s) for s in table.present()]
+    pairs.sort()
     out = np.empty(n, dtype=np.uint8)
-    # bit-buffer decode: refill from bytes, consume code lengths
-    data = stream + b"\x00" * 8
     buf = 0
     nbits = 0
     pos = 0
-    sl = sym_lut.tolist()
-    ll = len_lut.tolist()
+    data = stream + b"\x00" * 16
     for i in range(n):
-        while nbits < width:
+        while nbits < 64 and pos < len(data):
             buf |= data[pos] << nbits
             pos += 1
             nbits += 8
-        w = buf & mask
-        out[i] = sl[w]
-        consumed = ll[w]
-        buf >>= consumed
-        nbits -= consumed
+        for L, code, s in pairs:
+            if (buf & ((1 << L) - 1)) == code:
+                out[i] = s
+                buf >>= L
+                nbits -= L
+                break
+        else:
+            raise ValueError("huffman stream corrupt")
     return out

@@ -14,7 +14,7 @@ from pathlib import Path
 import numpy as np
 
 _DIR = Path(__file__).parent
-_SRCS = [_DIR / "rangecoder.c", _DIR / "segment.c", _DIR / "blow5io.c"]
+_SRCS = [_DIR / "rangecoder.c", _DIR / "segment.c", _DIR / "blow5io.c", _DIR / "huffdec.c"]
 _SO = _DIR / "librangecoder.so"
 
 _lib = None
@@ -51,6 +51,11 @@ def get_lib():
             f.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p] + (
                 [ctypes.c_size_t] if fn.endswith("decode") else []
             )
+        _lib.ht_huffman_decode.restype = ctypes.c_size_t
+        _lib.ht_huffman_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_size_t,
+        ]
         _lib.ht_blow5_scan.restype = ctypes.c_int64
         _lib.ht_blow5_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
@@ -142,3 +147,15 @@ def zlib_inflate(data: np.ndarray, out_cap: int) -> np.ndarray:
     if n < 0:
         raise ValueError("zlib inflate failed")
     return out[:n]
+
+
+def huffman_decode_lut(stream: bytes, n: int, sym_lut: np.ndarray,
+                       len_lut: np.ndarray, width: int) -> np.ndarray:
+    s = np.frombuffer(stream, dtype=np.uint8)
+    out = np.zeros(n, np.uint8)
+    got = get_lib().ht_huffman_decode(
+        _ptr(s), s.size, _ptr(sym_lut), _ptr(len_lut), width, _ptr(out), n
+    )
+    if got != n:
+        raise ValueError(f"huffman stream corrupt: decoded {got} of {n}")
+    return out
