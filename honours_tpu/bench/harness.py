@@ -123,7 +123,8 @@ DEFAULT_METHODS = [
 ]
 
 
-def run_method(codec, signals, per_read=False, out=sys.stdout):
+def run_method(codec, signals, per_read=False, out=None):
+    out = out or sys.stdout
     tot = dict.fromkeys(
         ["bound", "press", "raw", "t_bound", "t_press", "t_depress"], 0.0
     )

@@ -55,9 +55,6 @@ def make_decode_lut(table: HuffmanTable, width: int = None):
     return sym_lut, len_lut
 
 
-_LUT_CACHE = {}
-
-
 def huffman_decode(stream: bytes, n: int, table: HuffmanTable) -> np.ndarray:
     """Decode n symbols from an LSB-first bit stream (native LUT walk)."""
     if n == 0:
@@ -67,11 +64,10 @@ def huffman_decode(stream: bytes, n: int, table: HuffmanTable) -> np.ndarray:
         return np.full(n, table.present()[0], dtype=np.uint8)
     if table.max_len > 24:
         return _huffman_decode_bitwalk(stream, n, table)
-    key = (id(table), table.max_len)
-    luts = _LUT_CACHE.get(key)
+    luts = getattr(table, "_decode_lut", None)
     if luts is None:
         luts = make_decode_lut(table)
-        _LUT_CACHE[key] = luts
+        table._decode_lut = luts
     sym_lut, len_lut = luts
     from honours_tpu import native
 

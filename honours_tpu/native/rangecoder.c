@@ -411,7 +411,7 @@ static inline void cm_predict(CM *m, uint8_t prev1, uint8_t prev2,
 	s->fr1 = f1;
 	int pa1 = ((int) *s->a_cells[0] * (256 - f1) +
 		   (int) *s->a_cells[1] * f1) >> 10;
-	int pr = (pm + 3 * pa1) >> 2;
+	int pr = (pm + pa1) >> 1;
 	/* APM stage 2: prev1 ctx */
 	int st2 = STRETCH[pr < 1 ? 1 : (pr > 4095 ? 4095 : pr)];
 	int i2 = (st2 + 4096) >> 8, f2 = (st2 + 4096) & 255;
@@ -420,7 +420,7 @@ static inline void cm_predict(CM *m, uint8_t prev1, uint8_t prev2,
 	s->fr2 = f2;
 	int pa2 = ((int) *s->a_cells[2] * (256 - f2) +
 		   (int) *s->a_cells[3] * f2) >> 10;
-	int p = (pr + 3 * pa2) >> 2;
+	int p = (pr + pa2) >> 1;
 	if (p < 1)
 		p = 1;
 	if (p > 4094)
@@ -437,7 +437,7 @@ static inline void cm_update(CMStep *s, int bit)
 	/* count-adaptive rate: fast while a context is young */
 	static const int CRATE[16] = { 1, 2, 2, 3, 3, 3, 4, 4,
 				       4, 4, 5, 5, 5, 5, 5, 5 };
-	static const int MAXR[NMODELS - 1] = { 5, 5, 7 };
+	static const int MAXR[NMODELS - 1] = { 5, 5, 8 };
 	for (int i = 0; i < NMODELS - 1; i++) {
 		uint16_t cell = *s->p[i];
 		int cnt = cell >> 12;
