@@ -1,0 +1,85 @@
+"""Signal analysis toolkit.
+
+Python equivalent of the reference's offline viz/ corpus (~70 C/R/shell
+tools, viz/README:1-80): the statistics that motivated the codec designs
+— value/delta frequency tallies, empirical entropy, exception rates,
+quantisation shift, stall segmentation reports, per-read summaries.
+
+Usage:
+  python -m honours_tpu.cli analyze FILE.blow5 [--report ...]
+  or library: honours_tpu.analysis.analyze_reads(signals)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from honours_tpu.transforms.core import find_qts, zigdelta
+
+
+def freq_tally(values: np.ndarray, minlength=0) -> np.ndarray:
+    """Value frequency tally (viz/freq_slow5.c / tally.c role)."""
+    v = np.asarray(values)
+    if v.dtype == np.int16:
+        v = v.view(np.uint16)
+    return np.bincount(v.astype(np.int64), minlength=minlength)
+
+
+def entropy_bits(values: np.ndarray) -> float:
+    """Empirical order-0 entropy in bits/sample (viz entropy tools;
+    reference baseline: raw 7.700, zd 5.391 — thesis entropy-tab)."""
+    counts = freq_tally(values)
+    counts = counts[counts > 0]
+    p = counts / counts.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+def delta_stats(signal: np.ndarray) -> dict:
+    x = np.asarray(signal, dtype=np.int16)
+    d = np.diff(x.astype(np.int32))
+    zd = zigdelta(x)
+    return {
+        "delta_mean": float(d.mean()) if d.size else 0.0,
+        "delta_std": float(d.std()) if d.size else 0.0,
+        "delta_entropy_bits": entropy_bits(zd),
+        "exception_rate": float((zd[1:] > 255).mean()) if zd.size > 1 else 0.0,
+        "max_abs_delta": int(np.abs(d).max()) if d.size else 0,
+    }
+
+
+def stall_report(signal: np.ndarray) -> dict:
+    from honours_tpu import native
+
+    exists, start, length = native.find_stall(np.asarray(signal, np.int16))
+    return {"stall": exists, "stall_start": start, "stall_len": length}
+
+
+def read_summary(signal: np.ndarray) -> dict:
+    x = np.asarray(signal, dtype=np.int16)
+    out = {
+        "n": int(x.size),
+        "min": int(x.min()) if x.size else 0,
+        "max": int(x.max()) if x.size else 0,
+        "mean": float(x.mean()) if x.size else 0.0,
+        "sd": float(x.std()) if x.size else 0.0,
+        "raw_entropy_bits": entropy_bits(x),
+        "qts": find_qts(x) if x.size else 0,
+    }
+    out.update(delta_stats(x))
+    out.update(stall_report(x))
+    return out
+
+
+def analyze_reads(signals) -> dict:
+    """Corpus-level report: per-read summaries + aggregate statistics."""
+    reads = [read_summary(s) for s in signals]
+    all_zd = np.concatenate([zigdelta(s) for s in signals]) if signals else []
+    agg = {
+        "n_reads": len(signals),
+        "total_samples": int(sum(s.size for s in signals)),
+        "corpus_raw_entropy_bits": entropy_bits(
+            np.concatenate(signals) if signals else np.zeros(0, np.int16)
+        ),
+        "corpus_zd_entropy_bits": entropy_bits(all_zd),
+    }
+    return {"aggregate": agg, "reads": reads}

@@ -37,12 +37,30 @@ def main(argv=None):
 
     sub.add_parser("codecs", help="list registered codecs")
 
+    a = sub.add_parser("analyze", help="signal statistics report (viz/ role)")
+    a.add_argument("file")
+    a.add_argument("--per-read", action="store_true")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "codecs":
         from honours_tpu.codecs import base as registry
 
         print("\n".join(registry.names()))
+        return 0
+
+    if args.cmd == "analyze":
+        import json
+
+        from honours_tpu import analysis
+        from honours_tpu.io import blow5
+
+        rep = analysis.analyze_reads(
+            [r.signal for r in blow5.read_blow5(args.file).reads]
+        )
+        if not args.per_read:
+            rep = rep["aggregate"]
+        print(json.dumps(rep, indent=1))
         return 0
 
     if args.cmd == "bench":

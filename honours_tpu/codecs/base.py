@@ -68,6 +68,7 @@ def _ensure_loaded():
         flats,
         generic,
         huffman,
+        pfor,
         raw,
         rc,
         rice,

@@ -94,9 +94,22 @@ class Svb12Zd(Svb12):
     zd = True
 
 
+class Svb12Nosimd(Svb12):
+    """Same wire format as svb12 (the reference's scalar/SIMD pair share
+    it, press/streamvbyte/src/streamvbyte_12_encode.c vs press/svb16/)."""
+
+    name = "svb12_nosimd"
+
+
+class Svb12ZdNosimd(Svb12Zd):
+    name = "svb12_zd_nosimd"
+
+
 register(Svb())
 register(SvbZd())
 register(Svb0124())
 register(Svb0124Zd())
 register(Svb12())
 register(Svb12Zd())
+register(Svb12Nosimd())
+register(Svb12ZdNosimd())
