@@ -126,26 +126,130 @@ def gather_bits_msb(stream_bytes, bit_off, bit_len):
     return jnp.where(blen == 32, left, out).astype(U32)
 
 
+def monotone_place(values, keep, targets, width: int):
+    """Relocate kept elements to strictly-increasing target columns.
+
+    Any strictly-increasing-target relocation decomposes as compact
+    (pack kept left) followed by expand (rank r -> target[r], whose shift
+    target-r is non-decreasing).  Returns (out [B, width], covered).
+    """
+    from honours_tpu.engine.permute import monotone_compact, monotone_expand
+
+    B, N = values.shape
+    vc, count = monotone_compact(values, keep)
+    tc, _ = monotone_compact(jnp.where(keep, targets, 0), keep)
+    if N > width:  # targets < width bound the kept count by width
+        vc, tc = vc[:, :width], tc[:, :width]
+        N = width
+    rank = jnp.arange(N, dtype=jnp.int32)[None, :]
+    valid = rank < count[:, None]
+    shift = jnp.where(valid, tc - rank, 0)
+    return monotone_expand(vc, shift, valid, width)
+
+
+def pack_fields_msb(values, bit_len, bit_off, valid, n_words: int):
+    """scatter_bits_msb semantics without XLA scatter.
+
+    Fields' word contributions are OR-combined per target word with a
+    segmented scan (bit_off is non-decreasing), then relocated with
+    compact+expand.  Drop-in replacement for scatter_bits_msb on arrays
+    large enough that XLA scatter (~100M elem/s) hurts.
+    """
+    from honours_tpu.engine.permute import monotone_compact, seg_or_scan
+
+    B, N = values.shape
+    v = values.astype(U32)
+    blen = jnp.broadcast_to(jnp.asarray(bit_len, jnp.int32), (B, N))
+    word = (bit_off >> 5).astype(jnp.int32)
+    inbit = (bit_off & 31).astype(jnp.int32)
+    sh = 32 - inbit - blen
+    pos_sh = jnp.clip(sh, 0, 31).astype(U32)
+    neg_sh = jnp.clip(-sh, 0, 31).astype(U32)
+    lo_sh = jnp.clip(32 + sh, 0, 31).astype(U32)
+    w0 = jnp.where(sh >= 0, v << pos_sh, v >> neg_sh)
+    w1 = jnp.where(sh >= 0, jnp.uint32(0), v << lo_sh)
+    w0 = jnp.where(valid, w0, 0).astype(U32)
+    w1 = jnp.where(valid, w1, 0).astype(U32)
+    seg = jnp.where(valid, word, n_words + 7)
+    or0 = seg_or_scan(w0, seg)
+    or1 = seg_or_scan(w1, seg)
+    nxt = jnp.concatenate(
+        [seg[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1
+    )
+    last = valid & (seg != nxt)
+
+    words = jnp.zeros((B, n_words + 1), dtype=U32)
+    placed0, cov0 = monotone_place(or0, last, seg, n_words + 1)
+    placed1, cov1 = monotone_place(or1, last, seg + 1, n_words + 1)
+    words = placed0 | placed1
+    return _words_to_bytes_be(words[:, :n_words])
+
+
+def unpack_fields_msb(stream, base_byte, mb, count, N: int, mb_cap: int = 24):
+    """Read `count` MSB-first fields of per-row width mb (<= mb_cap <= 24)
+    starting at byte base_byte of each row.  Gather-free: stream bytes are
+    relocated to the first field that uses them (compact+expand) and
+    forward-filled across fields sharing a start byte.
+
+    stream [B, M] u8; base_byte/mb/count [B].  Returns [B, N] u32.
+    """
+    from honours_tpu.engine.permute import (
+        forward_fill,
+        monotone_compact,
+        monotone_expand,
+        rowwise_shift_left,
+    )
+
+    B, M = stream.shape
+    W = min(M, (N * mb_cap + 7) // 8 + 4)
+    aligned = rowwise_shift_left(stream, base_byte, W + 3).astype(U32)
+    # 4-byte big-endian window starting at each byte position
+    win = (
+        (aligned[:, :W] << 24)
+        | (aligned[:, 1 : W + 1] << 16)
+        | (aligned[:, 2 : W + 2] << 8)
+        | aligned[:, 3 : W + 3]
+    )
+    mb = jnp.asarray(mb, jnp.int32).reshape(B, 1)
+    mb_safe = jnp.maximum(mb, 1)
+    nbyte = jnp.arange(W, dtype=jnp.int32)[None, :]
+    first_i = (8 * nbyte + mb_safe - 1) // mb_safe
+    is_start = ((first_i * mb_safe) >> 3) == nbyte
+    is_start = is_start & (first_i < jnp.asarray(count, jnp.int32)[:, None])
+    is_start = is_start & (mb > 0)
+
+    # relocate window words to field positions, fill plateaus
+    wc, cnt = monotone_compact(win, is_start)
+    tc, _ = monotone_compact(jnp.where(is_start, first_i, 0), is_start)
+    rank = jnp.arange(W, dtype=jnp.int32)[None, :]
+    validc = rank < cnt[:, None]
+    placed, covered = monotone_expand(
+        wc, jnp.where(validc, tc - rank, 0), validc, max(N, W)
+    )
+    field_win = forward_fill(placed, covered)[:, :N]
+
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    r = ((idx * mb) & 7).astype(U32)
+    blen = jnp.broadcast_to(mb, (B, N)).astype(U32)
+    out = jnp.where(
+        blen == 0,
+        0,
+        (field_win >> (jnp.uint32(32) - r - blen))
+        & ((jnp.uint32(1) << blen) - 1),
+    )
+    fvalid = idx < jnp.asarray(count, jnp.int32)[:, None]
+    return jnp.where(fvalid, out, 0).astype(U32)
+
+
 def rowwise_concat(segments, total_cols: int):
-    """Concatenate variable-length row segments.
+    """Concatenate variable-length row segments (gather-free).
 
     segments: list of (buf [B, Mi] u8, len [B] int32).  Returns
     (out [B, total_cols] u8, total_len [B]).
     """
-    B = segments[0][0].shape[0]
-    cols = jnp.arange(total_cols, dtype=jnp.int32)[None, :]
-    out = jnp.zeros((B, total_cols), dtype=jnp.uint8)
-    start = jnp.zeros((B, 1), dtype=jnp.int32)
-    for buf, ln in segments:
-        ln = ln.astype(jnp.int32)[:, None]
-        Mi = buf.shape[1]
-        rel = cols - start
-        inseg = (rel >= 0) & (rel < ln)
-        idx = jnp.clip(rel, 0, Mi - 1)
-        vals = jnp.take_along_axis(buf, idx, axis=1)
-        out = jnp.where(inseg, vals, out)
-        start = start + ln
-    return out, start[:, 0]
+    from honours_tpu.engine.permute import rowwise_concat as _rc
+
+    return _rc(segments, total_cols)
 
 
 def u32le_bytes(x) -> jnp.ndarray:

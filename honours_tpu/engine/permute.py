@@ -1,0 +1,196 @@
+"""Scatter/gather-free data-movement primitives for TPU.
+
+XLA's general gather/scatter lower to ~100M elem/s loops on TPU (measured
+on v5e: 43 ms for a 4M-element take_along_axis, 25 ms for the matching
+scatter, 730 ms for a vmapped searchsorted).  Every hot path in the codec
+engines is a *monotone* permutation (offsets produced by cumsum), which
+admits an O(log N)-pass formulation out of `jnp.where` + statically-shifted
+slices only — each pass runs at full VPU/HBM speed.
+
+Primitives:
+  monotone_compact(values, keep)          — pack kept elements left
+  monotone_expand(values, shift, valid)   — element j lands at j + shift[j]
+  rowwise_shift_right(buf, shift, width)  — whole-row shift by per-row scalar
+  rowwise_concat(segments, total)         — ragged row concat via shifts
+
+Proof sketch for the log-shift walk (value + remaining-shift channels move
+together; moved-from slots are killed):
+  compact (move left by h = holes-before, LSB→MSB): for kept j < j',
+  intermediate gap = (j'-j) - ((h[j'] mod 2^k) - (h[j] mod 2^k))
+  ≥ (j'-j) - (h[j']-h[j]) ≥ 1, so kept elements never collide.
+  expand (move right by non-decreasing s, MSB→LSB): floor-to-2^k of a
+  non-decreasing sequence is non-decreasing, so the partial shifts keep
+  targets ordered.  (The mirrored orders fail: see tests.)
+
+These replace the reference's serial byte emission loops
+(press/press.c:2803-2817 exception scans, press/svb16/encode_scalar.c).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _shift_left(a: jnp.ndarray, k: int, fill) -> jnp.ndarray:
+    """a[:, j] <- a[:, j+k] (static k), filling the tail."""
+    B = a.shape[0]
+    pad = jnp.full((B, k), fill, a.dtype)
+    return jnp.concatenate([a[:, k:], pad], axis=1)
+
+
+def _shift_right(a: jnp.ndarray, k: int, fill) -> jnp.ndarray:
+    B = a.shape[0]
+    pad = jnp.full((B, k), fill, a.dtype)
+    return jnp.concatenate([pad, a[:, :-k]], axis=1)
+
+
+def _nbits(n: int) -> int:
+    return max(1, (int(n) - 1).bit_length())
+
+
+def monotone_compact(values, keep, fill=0):
+    """Pack kept elements to the left of each row, preserving order.
+
+    values [B, N] (any integer dtype), keep [B, N] bool.
+    Returns (out [B, N], count [B]) where out[b, :count[b]] are the kept
+    values in order and the rest is `fill`.
+    """
+    B, N = values.shape
+    holes = jnp.cumsum((~keep).astype(jnp.int32), axis=1) - (~keep).astype(
+        jnp.int32
+    )  # exclusive: holes strictly before j
+    s = jnp.where(keep, holes, 0)
+    alive = keep
+    a = values
+    for k in range(_nbits(N)):
+        bit = 1 << k
+        src_a = _shift_left(a, bit, 0)
+        src_s = _shift_left(s, bit, 0)
+        src_alive = _shift_left(alive, bit, False)
+        incoming = src_alive & ((src_s & bit) != 0)
+        leaving = alive & ((s & bit) != 0)
+        a = jnp.where(incoming, src_a, a)
+        s = jnp.where(incoming, src_s & ~bit, jnp.where(leaving, 0, s))
+        alive = incoming | (alive & ~leaving)
+    count = keep.sum(axis=1).astype(jnp.int32)
+    return jnp.where(alive, a, jnp.asarray(fill, a.dtype)), count
+
+
+def monotone_expand(values, shift, valid, width: int, fill=0):
+    """Element j of each row lands at column j + shift[j].
+
+    shift must be non-decreasing over valid elements (targets strictly
+    increasing).  values/shift/valid [B, N]; returns (out [B, width],
+    covered [B, width] bool).
+    """
+    B, N = values.shape
+    if width < N:
+        raise ValueError("width must be >= N")
+    pad = width - N
+    a = jnp.pad(values, ((0, 0), (0, pad)))
+    s = jnp.pad(jnp.where(valid, shift, 0), ((0, 0), (0, pad)))
+    alive = jnp.pad(valid, ((0, 0), (0, pad)))
+    max_shift = width  # caller guarantees targets < width
+    for k in reversed(range(_nbits(max_shift))):
+        bit = 1 << k
+        src_a = _shift_right(a, bit, 0)
+        src_s = _shift_right(s, bit, 0)
+        src_alive = _shift_right(alive, bit, False)
+        incoming = src_alive & ((src_s & bit) != 0)
+        leaving = alive & ((s & bit) != 0)
+        a = jnp.where(incoming, src_a, a)
+        s = jnp.where(incoming, src_s & ~bit, jnp.where(leaving, 0, s))
+        alive = incoming | (alive & ~leaving)
+    return jnp.where(alive, a, jnp.asarray(fill, a.dtype)), alive
+
+
+def forward_fill(values, alive):
+    """Replace dead positions with the nearest alive value to their left.
+
+    values/alive [B, N].  Positions before the first alive value keep
+    their original value.  O(log N) passes.
+    """
+    B, N = values.shape
+    a, al = values, alive
+    for k in range(_nbits(N)):
+        bit = 1 << k
+        src_a = _shift_right(a, bit, 0)
+        src_al = _shift_right(al, bit, False)
+        take = (~al) & src_al
+        a = jnp.where(take, src_a, a)
+        al = al | src_al
+    return a
+
+
+def seg_or_scan(values, seg_id):
+    """Inclusive OR-scan within runs of equal seg_id (non-decreasing).
+
+    values [B, N] uint32, seg_id [B, N] int32.  Returns scanned [B, N];
+    the last element of each run holds the OR of the whole run.
+    """
+    B, N = values.shape
+    a = values
+    for k in range(_nbits(N)):
+        bit = 1 << k
+        src_a = _shift_right(a, bit, 0)
+        src_t = _shift_right(seg_id, bit, -1)
+        same = src_t == seg_id
+        a = jnp.where(same, a | src_a, a)
+    return a
+
+
+def rowwise_shift_left(buf, shift, width: int, fill=0):
+    """Shift each row left by its own scalar amount; out width `width`."""
+    B, M = buf.shape
+    a = buf
+    shift = shift.astype(jnp.int32)
+    for k in range(_nbits(M)):
+        bit = 1 << k
+        rolled = _shift_left(a, bit, fill)
+        a = jnp.where((shift[:, None] & bit) != 0, rolled, a)
+    if width > M:
+        a = jnp.pad(a, ((0, 0), (0, width - M)), constant_values=fill)
+    return a[:, :width]
+
+
+def rowwise_shift_right(buf, shift, width: int, fill=0):
+    """Shift each row right by its own scalar amount (binary-decomposed
+    static rolls).  buf [B, M] -> out [B, width]; bytes shifted past the
+    end are dropped."""
+    B, M = buf.shape
+    if width > M:
+        buf = jnp.pad(buf, ((0, 0), (0, width - M)), constant_values=fill)
+    elif width < M:
+        buf = buf[:, :width]
+    shift = shift.astype(jnp.int32)
+    a = buf
+    for k in range(_nbits(width)):
+        bit = 1 << k
+        rolled = _shift_right(a, bit, fill)
+        a = jnp.where((shift[:, None] & bit) != 0, rolled, a)
+    return a
+
+
+def rowwise_concat(segments, total_cols: int):
+    """Concatenate variable-length row segments without gathers.
+
+    segments: list of (buf [B, Mi] u8, len [B] int32).
+    Returns (out [B, total_cols] u8, total_len [B]).
+    Cost: one rowwise_shift_right per segment (log passes each); segment
+    data beyond its per-row length must already be zero-padded? No —
+    lengths are enforced here by masking.
+    """
+    B = segments[0][0].shape[0]
+    out = jnp.zeros((B, total_cols), dtype=jnp.uint8)
+    start = jnp.zeros((B,), dtype=jnp.int32)
+    cols = None
+    for buf, ln in segments:
+        ln = jnp.broadcast_to(jnp.asarray(ln, jnp.int32), (B,))
+        Mi = buf.shape[1]
+        if cols is None or cols.shape[1] != Mi:
+            cols = jnp.arange(Mi, dtype=jnp.int32)[None, :]
+        masked = jnp.where(cols < ln[:, None], buf, 0)
+        placed = rowwise_shift_right(masked, start, total_cols)
+        out = out | placed
+        start = start + ln
+    return out, start

@@ -1,14 +1,13 @@
-"""Batched svb16 (VBZ container) encode/decode in JAX.
+"""Batched svb16 (VBZ container) encode/decode in JAX — gather/scatter-free.
 
 TPU-first formulation of the reference's svb16 kernels
-(press/svb16/encode_scalar.c, decode_scalar.c — the SIMD loops become
-two-phase map / prefix-sum / scatter over a read batch):
-
-  encode: per-value byte length (1 or 2) -> exclusive row cumsum ->
-          scatter value bytes; key bitmap via packbits; stream assembly
-          (keys ++ data with per-row dynamic key length) via a gather.
-  decode: key bitmap -> lengths -> offsets -> gather bytes -> fuse
-          unzigzag + wrapping prefix sum.
+(press/svb16/encode_scalar.c, decode_scalar.c).  XLA's general
+gather/scatter run at ~100M elem/s on TPU, so instead of the textbook
+"prefix-sum offsets then scatter" scheme the byte stream is built as a
+*monotone compaction*: lo/hi candidate bytes are interleaved at fixed
+positions [2j, 2j+1] and packed left with the O(log N) shift walk
+(engine/permute.py).  Decode is the exact inverse: expand the compacted
+bytes back onto the candidate grid.
 
 Streams equal honours_tpu.kernels.svb.svb16_encode byte-for-byte (and
 hence the reference C).
@@ -20,8 +19,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+from honours_tpu.engine.permute import (
+    monotone_compact,
+    monotone_expand,
+    rowwise_concat,
+    rowwise_shift_left,
+)
 from honours_tpu.transforms.core import jnp_unzigdelta, jnp_zigdelta
 
 
@@ -31,6 +35,12 @@ def _keys_from_bits(two: jnp.ndarray) -> jnp.ndarray:
     bits = two.reshape(B, L // 8, 8)
     weights = (1 << jnp.arange(8, dtype=jnp.int32)).reshape(1, 1, 8)
     return (bits * weights).sum(axis=2).astype(jnp.uint8)
+
+
+def _interleave2(a, b):
+    """[B, L] x2 -> [B, 2L] with a at even, b at odd columns."""
+    B, L = a.shape
+    return jnp.stack([a, b], axis=2).reshape(B, 2 * L)
 
 
 @functools.partial(jax.jit, static_argnames=("zd",))
@@ -49,30 +59,13 @@ def svb16_encode_batch(sig: jnp.ndarray, n: jnp.ndarray, zd: bool = True):
     two = ((v >= 256) & valid).astype(jnp.int32)
     keys = _keys_from_bits(two)
 
-    lens = jnp.where(valid, two + 1, 0)
-    ends = jnp.cumsum(lens, axis=1)
-    offs = ends - lens
-    data_len = ends[:, -1]
+    cand = _interleave2((v & 0xFF).astype(jnp.uint8), (v >> 8).astype(jnp.uint8))
+    keep = _interleave2(valid, valid & (two == 1))
+    data, data_len = monotone_compact(cand, keep)
 
-    # scatter bytes into [B, 2L] (+1 trash column for padded lanes)
-    data = jnp.zeros((B, 2 * L + 1), dtype=jnp.uint8)
-    tgt0 = jnp.where(valid, offs, 2 * L)
-    tgt1 = jnp.where(valid & (two == 1), offs + 1, 2 * L)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    data = data.at[rows, tgt0].set((v & 0xFF).astype(jnp.uint8), mode="drop")
-    data = data.at[rows, tgt1].set((v >> 8).astype(jnp.uint8), mode="drop")
-    data = data[:, : 2 * L]
-
-    # assemble keys ++ data with per-row key length ceil(n/8)
     kl = (n + 7) // 8
-    out_cols = jnp.arange(KL + 2 * L, dtype=jnp.int32)[None, :]
-    in_keys = out_cols < kl[:, None]
-    key_idx = jnp.clip(out_cols, 0, KL - 1)
-    data_idx = jnp.clip(out_cols - kl[:, None], 0, 2 * L - 1)
-    stream = jnp.where(
-        in_keys,
-        jnp.take_along_axis(keys, key_idx, axis=1),
-        jnp.take_along_axis(data, data_idx, axis=1),
+    stream, _ = rowwise_concat(
+        [(keys, kl), (data, data_len)], KL + 2 * L
     )
     return stream, kl + data_len
 
@@ -81,24 +74,32 @@ def svb16_encode_batch(sig: jnp.ndarray, n: jnp.ndarray, zd: bool = True):
 def svb16_decode_batch(stream: jnp.ndarray, n: jnp.ndarray, L: int, zd: bool = True):
     """Decode [B, M] u8 with lengths n -> [B, L] int16 (padded lanes 0)."""
     B, M = stream.shape
+    KL = L // 8
     pos = jnp.arange(L, dtype=jnp.int32)
     valid = pos[None, :] < n[:, None]
     kl = (n + 7) // 8
-    # key bit for value j: stream[j >> 3] >> (j & 7)
-    key_bytes = jnp.take_along_axis(
-        stream, jnp.minimum(pos[None, :] >> 3, M - 1), axis=1
-    ).astype(jnp.int32)
-    two = (key_bytes >> (pos[None, :] & 7)) & 1
+    # keys live at fixed columns [0, kl); replicate each key byte 8x
+    keys = stream[:, :KL].astype(jnp.int32)
+    krep = jnp.repeat(keys, 8, axis=1)  # static repeat: cheap broadcast
+    two = (krep >> (pos[None, :] & 7)) & 1
     two = jnp.where(valid, two, 0)
-    lens = jnp.where(valid, two + 1, 0)
-    ends = jnp.cumsum(lens, axis=1)
-    offs = ends - lens + kl[:, None]
-    b0 = jnp.take_along_axis(stream, jnp.minimum(offs, M - 1), axis=1).astype(
-        jnp.int32
-    )
-    b1 = jnp.take_along_axis(stream, jnp.minimum(offs + 1, M - 1), axis=1).astype(
-        jnp.int32
-    )
+
+    # strip the ragged key area so data starts at column 0
+    data = rowwise_shift_left(stream, kl, 2 * L)
+
+    # inverse of the encode compaction: expand data bytes onto the
+    # candidate grid [B, 2L] (even = lo byte, odd = hi byte when two)
+    keep = _interleave2(valid, valid & (two == 1))
+    grid_pos = jnp.arange(2 * L, dtype=jnp.int32)[None, :]
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - keep.astype(jnp.int32)
+    shift_g = jnp.where(keep, grid_pos - rank, 0)
+    shift, cnt = monotone_compact(shift_g, keep)
+    rk = jnp.arange(2 * L, dtype=jnp.int32)[None, :]
+    validc = rk < cnt[:, None]
+    grid, _ = monotone_expand(data.astype(jnp.int32), shift, validc, 2 * L)
+
+    b0 = grid[:, 0::2]
+    b1 = grid[:, 1::2]
     v = jnp.where(two == 1, b0 | (b1 << 8), b0)
     v = jnp.where(valid, v, 0)
     if zd:

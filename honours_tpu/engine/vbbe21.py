@@ -1,10 +1,12 @@
-"""Batched vbbe21 exception container in JAX.
+"""Batched vbbe21 exception container in JAX — gather/scatter-free.
 
 TPU formulation of the reference's serial exception scan
-(press/press.c:2780-2888): boolean exception mask -> prefix-sum ranks ->
-compaction scatters for positions / values / residual bytes; the two
-minbits bitpacks ride the shared MSB bit-scatter engine.  Streams are
-byte-exact with honours_tpu.codecs.vb.vbbe21_press.
+(press/press.c:2780-2888): the boolean exception mask drives monotone
+compactions (O(log N) shift walks, engine/permute.py) instead of XLA
+scatter; the two minbits bitpacks ride the segmented-OR pack engine
+(engine/bits.pack_fields_msb) and decode reads fields via the
+compact+expand+forward-fill unpacker.  Streams are byte-exact with
+honours_tpu.codecs.vb.vbbe21_press.
 """
 
 from __future__ import annotations
@@ -12,13 +14,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from honours_tpu.engine.bits import (
-    gather_bits_msb,
+    monotone_place,
+    pack_fields_msb,
     read_u16le,
     read_u32le,
     rowwise_concat,
-    scatter_bits_msb,
     u16le_bytes,
     u32le_bytes,
+    unpack_fields_msb,
+)
+from honours_tpu.engine.permute import (
+    forward_fill,
+    monotone_compact,
+    monotone_expand,
 )
 
 
@@ -29,17 +37,6 @@ def bitlen(x: jnp.ndarray) -> jnp.ndarray:
     for k in range(32):
         b = b + (x >= jnp.uint32(1) << jnp.uint32(k)).astype(jnp.int32)
     return b
-
-
-def _compact(values, mask, width, fill=0):
-    """Row-compact `values` where mask, into [B, width] (rank scatter)."""
-    B, L = values.shape
-    ranks = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-    tgt = jnp.where(mask, ranks, width)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    out = jnp.full((B, width + 1), fill, dtype=values.dtype)
-    out = out.at[rows, tgt].set(values, mode="drop")
-    return out[:, :width]
 
 
 def _uint_pack(values, count, nbytes_cap: int):
@@ -55,7 +52,7 @@ def _uint_pack(values, count, nbytes_cap: int):
     b = bitlen(v.max(axis=1))[:, None]  # [B,1]
     offs = pos * b
     n_words = (nbytes_cap + 3) // 4
-    packed = scatter_bits_msb(v, b, offs, valid, n_words)[:, :nbytes_cap]
+    packed = pack_fields_msb(v, b, offs, valid, n_words)[:, :nbytes_cap]
     header = b.astype(jnp.uint8)  # [B,1]
     buf = jnp.concatenate([header, packed], axis=1)
     nbits = count * b[:, 0]
@@ -76,8 +73,10 @@ def vbbe21_parts_batch(v: jnp.ndarray, n: jnp.ndarray, emax: int = None):
     ex = (v > 255) & valid
     nex = ex.sum(axis=1).astype(jnp.int32)
 
-    ex_pos = _compact(jnp.broadcast_to(pos, v.shape), ex, emax)
-    ex_val = _compact(jnp.where(ex, v - 256, 0), ex, emax)
+    ex_pos_full, _ = monotone_compact(jnp.broadcast_to(pos, v.shape), ex)
+    ex_val_full, _ = monotone_compact(jnp.where(ex, v - 256, 0), ex)
+    ex_pos = ex_pos_full[:, :emax]
+    ex_val = ex_val_full[:, :emax]
     # delta_increasing: out[0]=pos[0], out[i]=pos[i]-pos[i-1]-1
     prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), ex_pos[:, :-1]], axis=1)
     pos_delta = (ex_pos - prev - 1).astype(jnp.uint32)
@@ -85,8 +84,9 @@ def vbbe21_parts_batch(v: jnp.ndarray, n: jnp.ndarray, emax: int = None):
     pos_buf, pos_len = _uint_pack(pos_delta, nex, 4 * emax)
     val_buf, val_len = _uint_pack(ex_val.astype(jnp.uint32), nex, 2 * emax)
 
-    data = _compact(jnp.where(valid & ~ex, v & 0xFF, 0).astype(jnp.uint8),
-                    valid & ~ex, L)
+    data, _ = monotone_compact(
+        jnp.where(valid & ~ex, v & 0xFF, 0).astype(jnp.uint8), valid & ~ex
+    )
     data_len = n - nex
 
     many = nex > 1
@@ -135,13 +135,8 @@ def vbbe21_decode_batch(stream, base_off, n, data, L: int):
     pos_bits_b = jnp.take_along_axis(
         stream, jnp.clip(pos_b_off[:, None], 0, M - 1), axis=1
     )[:, 0].astype(jnp.int32)
-    # positions: unpack nex fields of pos_bits each, starting after 1B header
-    emax = L
-    idx = jnp.arange(emax, dtype=jnp.int32)[None, :]
-    ex_valid = idx < nex[:, None]
-    pos_bit_off = ((pos_b_off[:, None] + 1) << 3) + idx * pos_bits_b[:, None]
-    pos_delta = gather_bits_msb(stream, pos_bit_off, pos_bits_b[:, None])
-    pos_delta = jnp.where(ex_valid, pos_delta, 0)
+    # positions: unpack nex fields of pos_bits each, after the 1B header
+    pos_delta = unpack_fields_msb(stream, pos_b_off + 1, pos_bits_b, nex, L)
     ex_pos_many = jnp.cumsum(pos_delta.astype(jnp.int32) + 1, axis=1) - 1
 
     off_after_pos = jnp.where(many, off + 4 + pos_len, off)
@@ -150,8 +145,7 @@ def vbbe21_decode_batch(stream, base_off, n, data, L: int):
     val_bits_b = jnp.take_along_axis(
         stream, jnp.clip(val_b_off[:, None], 0, M - 1), axis=1
     )[:, 0].astype(jnp.int32)
-    val_bit_off = ((val_b_off[:, None] + 1) << 3) + idx * val_bits_b[:, None]
-    ex_val_many = gather_bits_msb(stream, val_bit_off, val_bits_b[:, None])
+    ex_val_many = unpack_fields_msb(stream, val_b_off + 1, val_bits_b, nex, L)
 
     # nex == 1 raw framing
     pos1 = read_u32le(stream, off).astype(jnp.int32)
@@ -165,20 +159,23 @@ def vbbe21_decode_batch(stream, base_off, n, data, L: int):
         jnp.where(one, off + 6, off),
     )
 
-    # rebuild values: scatter exceptions, fill rest from data via ranks
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-    ex_mask = jnp.zeros((B, L + 1), dtype=jnp.int32)
-    tgt = jnp.where(ex_valid, jnp.clip(ex_pos, 0, L), L)
-    ex_mask = ex_mask.at[rows, tgt].set(1, mode="drop")[:, :L].astype(bool)
-    ex_value_grid = jnp.zeros((B, L + 1), dtype=jnp.int32)
-    ex_value_grid = ex_value_grid.at[rows, tgt].set(
-        ex_val + 256, mode="drop"
-    )[:, :L]
-    nonex_rank = jnp.cumsum((~ex_mask).astype(jnp.int32), axis=1) - 1
-    data_vals = jnp.take_along_axis(
-        data.astype(jnp.int32), jnp.clip(nonex_rank, 0, L - 1), axis=1
+    # rebuild values: place exceptions at their positions (strictly
+    # increasing -> compact+expand), fill the rest from `data` by rank
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    ex_valid = idx < nex[:, None]
+    tgt = jnp.where(ex_valid, jnp.clip(ex_pos, 0, L - 1), 0)
+    ex_grid, ex_mask = monotone_place(ex_val + 256, ex_valid, tgt, L)
+
+    # expand data bytes onto the non-exception positions
+    nonex = (~ex_mask) & (idx < n[:, None])
+    rank = jnp.cumsum(nonex.astype(jnp.int32), axis=1) - nonex.astype(jnp.int32)
+    shift_g = jnp.where(nonex, idx - rank, 0)
+    shift, cnt = monotone_compact(shift_g, nonex)
+    validc = idx < cnt[:, None]
+    data_grid, _ = monotone_expand(
+        data.astype(jnp.int32), jnp.where(validc, shift, 0), validc, L
     )
-    pos_l = jnp.arange(L, dtype=jnp.int32)[None, :]
-    valid = pos_l < n[:, None]
-    v = jnp.where(ex_mask, ex_value_grid, data_vals)
+
+    valid = idx < n[:, None]
+    v = jnp.where(ex_mask, ex_grid, data_grid)
     return jnp.where(valid, v, 0), end_off, nex

@@ -68,7 +68,7 @@ def _metrics_psum(mesh, out_len, n):
             jax.lax.psum(raw, "reads"),
         )
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return shard_map(
         inner,

@@ -1,0 +1,112 @@
+"""Property tests for the log-shift monotone permutation primitives."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from honours_tpu.engine.permute import (
+    monotone_compact,
+    monotone_expand,
+    rowwise_concat,
+    rowwise_shift_right,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("N", [1, 7, 64, 257, 1024])
+def test_monotone_compact_matches_numpy(seed, N):
+    rng = np.random.default_rng(seed)
+    B = 5
+    vals = rng.integers(0, 250, (B, N)).astype(np.int32)
+    keep = rng.random((B, N)) < rng.random((B, 1))  # varied densities
+    out, count = monotone_compact(jnp.asarray(vals), jnp.asarray(keep))
+    out, count = np.asarray(out), np.asarray(count)
+    for b in range(B):
+        ref = vals[b][keep[b]]
+        assert count[b] == ref.size
+        np.testing.assert_array_equal(out[b, : ref.size], ref)
+        np.testing.assert_array_equal(out[b, ref.size :], 0)
+
+
+def test_monotone_compact_edge_masks():
+    v = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    out, c = monotone_compact(v, jnp.asarray([[False] * 4]))
+    assert int(c[0]) == 0 and np.all(np.asarray(out) == 0)
+    out, c = monotone_compact(v, jnp.asarray([[True] * 4]))
+    assert int(c[0]) == 4
+    np.testing.assert_array_equal(np.asarray(out)[0], [1, 2, 3, 4])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("N,width", [(8, 16), (100, 256), (512, 1024)])
+def test_monotone_expand_matches_numpy(seed, N, width):
+    rng = np.random.default_rng(seed)
+    B = 4
+    vals = rng.integers(1, 250, (B, N)).astype(np.int32)
+    # non-decreasing shifts, targets < width
+    steps = rng.integers(0, 2, (B, N))
+    shift = np.cumsum(steps, axis=1)
+    shift = (shift * (width - N - 1) // np.maximum(shift[:, -1:], 1)).astype(
+        np.int32
+    )
+    nvalid = rng.integers(0, N + 1, (B,))
+    valid = np.arange(N)[None, :] < nvalid[:, None]
+    out, covered = monotone_expand(
+        jnp.asarray(vals), jnp.asarray(shift), jnp.asarray(valid), width
+    )
+    out, covered = np.asarray(out), np.asarray(covered)
+    for b in range(B):
+        ref = np.zeros(width, np.int32)
+        cov = np.zeros(width, bool)
+        for j in range(nvalid[b]):
+            ref[j + shift[b, j]] = vals[b, j]
+            cov[j + shift[b, j]] = True
+        np.testing.assert_array_equal(out[b], ref)
+        np.testing.assert_array_equal(covered[b], cov)
+
+
+def test_expand_then_compact_roundtrip():
+    rng = np.random.default_rng(3)
+    B, N, W = 3, 200, 512
+    vals = rng.integers(1, 255, (B, N)).astype(np.int32)
+    shift = np.cumsum(rng.integers(0, 2, (B, N)), axis=1).astype(np.int32)
+    valid = np.ones((B, N), bool)
+    out, covered = monotone_expand(
+        jnp.asarray(vals), jnp.asarray(shift), jnp.asarray(valid), W
+    )
+    back, count = monotone_compact(out, covered)
+    np.testing.assert_array_equal(np.asarray(count), [N] * B)
+    np.testing.assert_array_equal(np.asarray(back)[:, :N], vals)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_rowwise_shift_right(seed):
+    rng = np.random.default_rng(seed)
+    B, M, W = 6, 40, 97
+    buf = rng.integers(0, 255, (B, M)).astype(np.uint8)
+    shift = rng.integers(0, W - M, (B,)).astype(np.int32)
+    out = np.asarray(rowwise_shift_right(jnp.asarray(buf), jnp.asarray(shift), W))
+    for b in range(B):
+        ref = np.zeros(W, np.uint8)
+        ref[shift[b] : shift[b] + M] = buf[b]
+        np.testing.assert_array_equal(out[b], ref)
+
+
+def test_rowwise_concat_matches_reference_impl():
+    rng = np.random.default_rng(7)
+    B = 4
+    segs = []
+    for Mi in (3, 17, 64):
+        buf = rng.integers(1, 255, (B, Mi)).astype(np.uint8)
+        ln = rng.integers(0, Mi + 1, (B,)).astype(np.int32)
+        segs.append((buf, ln))
+    total = 128
+    out, tlen = rowwise_concat(
+        [(jnp.asarray(b), jnp.asarray(l)) for b, l in segs], total
+    )
+    out, tlen = np.asarray(out), np.asarray(tlen)
+    for b in range(B):
+        ref = np.concatenate([buf[b, : l[b]] for buf, l in segs])
+        assert tlen[b] == ref.size
+        np.testing.assert_array_equal(out[b, : ref.size], ref)
+        np.testing.assert_array_equal(out[b, ref.size :], 0)
