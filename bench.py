@@ -40,7 +40,7 @@ def _alarm(_sig, _frm):
 
 B = 64
 L = 1 << 16
-REPS = 4
+REPS = 10
 
 
 def log(*a):
@@ -60,14 +60,41 @@ def build_batch():
     return np.stack(chunks[:B])
 
 
+_RTT = None
+
+
+def measure_rtt():
+    """One-way sync cost of the axon tunnel (fetching a ready scalar).
+
+    block_until_ready does not actually block over the tunnel, so timing
+    must always end in a value fetch; that fetch costs ~60 ms of RTT
+    which would otherwise swamp millisecond kernels.
+    """
+    global _RTT
+    import jax.numpy as jnp
+
+    x = jnp.zeros((), jnp.float32) + 1
+    float(x)
+    t0 = time.time()
+    n = 5
+    for _ in range(n):
+        float(x + 1)
+    _RTT = (time.time() - t0) / n
+    log(f"tunnel RTT ~= {_RTT * 1e3:.1f} ms")
+
+
 def timed(fn, sync, reps=REPS):
-    fn()  # warm
-    sync()
+    """fn() must RETURN its device result without fetching; dispatches are
+    queued async and a single scalar fetch at the end syncs the queue."""
+    import jax.numpy as jnp
+
+    r = fn()  # warm (compile)
+    float(jnp.sum(jnp.ravel(r)[:1].astype(jnp.float32)))
     t0 = time.time()
     for _ in range(reps):
-        fn()
-    sync()
-    return (time.time() - t0) / reps
+        r = fn()
+    float(jnp.sum(jnp.ravel(r)[:1].astype(jnp.float32)))
+    return max((time.time() - t0 - (_RTT or 0.0)) / reps, 1e-9)
 
 
 def main():
@@ -82,6 +109,7 @@ def main():
     from honours_tpu.engine.svb16 import svb16_decode_batch, svb16_encode_batch
 
     log("devices:", jax.devices())
+    measure_rtt()
     base = build_batch()
     nbytes = base.size * 2
     sig = jnp.asarray(base)
@@ -98,17 +126,8 @@ def main():
     ok = bool(jnp.all(dec == sig))
     comp_svb = int(jnp.sum(out_len))
 
-    t_enc = timed(
-        lambda: float(jnp.sum(svb16_encode_batch(sig, n, zd=True)[1])), sync
-    )
-    t_dec = timed(
-        lambda: float(
-            jnp.sum(
-                svb16_decode_batch(stream, n, L, zd=True).astype(jnp.int32)
-            )
-        ),
-        sync,
-    )
+    t_enc = timed(lambda: svb16_encode_batch(sig, n, zd=True)[1], sync)
+    t_dec = timed(lambda: svb16_decode_batch(stream, n, L, zd=True), sync)
     gbps = 2 * nbytes / (t_enc + t_dec) / 1e9
     log(
         f"svb16-zd TPU: enc {nbytes / t_enc / 1e9:.2f} GB/s, "
@@ -132,23 +151,14 @@ def main():
 
     # ---- srans flagship ----
     log("compiling srans pipeline...")
-    freqs, cum, slot_sym = canned_rans_tables()
+    freqs, cum = canned_rans_tables()
     s2, l2 = press_srans_batch(sig, n, freqs, cum)
     srans_ratio = nbytes / int(jnp.sum(l2))
-    d2 = depress_srans_batch(s2, n, freqs, cum, slot_sym, L)
+    d2 = depress_srans_batch(s2, n, freqs, cum, L)
     srans_ok = bool(jnp.all(d2 == sig))
-    t_enc2 = timed(
-        lambda: float(jnp.sum(press_srans_batch(sig, n, freqs, cum)[1])), sync
-    )
+    t_enc2 = timed(lambda: press_srans_batch(sig, n, freqs, cum)[1], sync)
     t_dec2 = timed(
-        lambda: float(
-            jnp.sum(
-                depress_srans_batch(s2, n, freqs, cum, slot_sym, L).astype(
-                    jnp.int32
-                )
-            )
-        ),
-        sync,
+        lambda: depress_srans_batch(s2, n, freqs, cum, L), sync
     )
     srans_gbps = 2 * nbytes / (t_enc2 + t_dec2) / 1e9
     log(

@@ -1,4 +1,4 @@
-"""srans_vbbe21_zd — the TPU-native flagship codec (new method, no
+"""srans_vbbe21_zd (format v2: shared-stream interleaved rANS body) — the TPU-native flagship codec (new method, no
 reference counterpart).
 
 Static-table interleaved rANS over the vbbe21 residual bytes, using a
@@ -21,8 +21,8 @@ from honours_tpu.codecs.vb import PAYLOAD, exblock_len
 from honours_tpu.kernels.rans import (
     normalize_freqs,
     rans_bound,
-    rans_decode_static,
-    rans_encode_static,
+    rans_decode_shared,
+    rans_encode_shared,
 )
 from honours_tpu.tables.huffman import NA12878_ZD_FREQ
 from honours_tpu.transforms.core import unzigdelta, zigdelta
@@ -48,13 +48,13 @@ class SransVbbe21ZdCodec(Codec):
         vb = PAYLOAD["vbbe21"][0](zd[1:])
         exlen = exblock_len(vb, 0, "vbbe21")
         data = np.frombuffer(vb, dtype=np.uint8, offset=exlen)
-        body = rans_encode_static(data, canned_freqs())
+        body = rans_encode_shared(data, canned_freqs())
         return zd[:1].astype("<u2").tobytes() + vb[:exlen] + body
 
     def depress(self, stream, nin):
         exlen = exblock_len(stream, 2, "vbbe21")
         (nex,) = struct.unpack_from("<I", stream, 2)
-        data = rans_decode_static(stream[2 + exlen :], nin - 1 - nex, canned_freqs())
+        data = rans_decode_shared(stream[2 + exlen :], nin - 1 - nex, canned_freqs())
         vb = stream[2 : 2 + exlen] + data.tobytes()
         zd = np.empty(nin, dtype=np.uint16)
         zd[0] = np.frombuffer(stream, dtype="<u2", count=1)[0]

@@ -1,12 +1,16 @@
-"""Batched entropy stages: static-Huffman encode and static-CDF rANS.
+"""Batched entropy stages: static-Huffman encode and shared-stream rANS.
 
 shuff encode: per-byte code length LUT -> bit-offset prefix sum ->
 LSB-first bit scatter (the TPU shape of press/huffman do_memory_encode).
 
-rANS: K independent lanes per read; encode walks steps in reverse with
-masked byte emission, decode mirrors forward — symbols decode K-per-step
-per read, B*K-parallel across the batch.  Wire format matches
-honours_tpu.kernels.rans.rans_{en,de}code_static byte-for-byte.
+rANS (format v2, kernels/rans.py shared-stream layout): K interleaved
+lanes per read emit into ONE stream in decoder consumption order, so the
+per-step byte group is contiguous.  Encode walks steps in reverse
+collecting per-step candidate groups, then packs them with one monotone
+compaction — no scatter, no searchsorted.  Symbol table lookups run as
+256-wide compare-select sums against the CDF (XLA gather is ~100M
+elem/s on TPU; a compare-sum is pure VPU).  Wire format matches
+kernels.rans.rans_{en,de}code_shared byte-for-byte.
 """
 
 from __future__ import annotations
@@ -18,7 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from honours_tpu.engine.bits import rowwise_concat, scatter_bits_lsb, u32be_bytes
-from honours_tpu.kernels.rans import M, PROB_BITS, RANS_L, K_DEFAULT
+from honours_tpu.engine.permute import monotone_compact, rowwise_shift_left
+from honours_tpu.kernels.rans import M, PROB_BITS, RANS_L, K_SHARED
+
+U32 = jnp.uint32
 
 # ---------------------------------------------------------------------------
 # static Huffman encode
@@ -49,163 +56,185 @@ def shuff_encode_batch(data: jnp.ndarray, dlen: jnp.ndarray, lengths, codes):
 
 
 # ---------------------------------------------------------------------------
-# static-CDF rANS
+# shared-stream static-CDF rANS (format v2)
 # ---------------------------------------------------------------------------
 
 
-def _lane_grid(B, K):
-    return jnp.arange(B, dtype=jnp.int32)[:, None], jnp.arange(K, dtype=jnp.int32)[
-        None, :
-    ]
+def _cum_ext(cum):
+    """[256] cum table -> [257] with the M sentinel appended."""
+    return jnp.concatenate([cum.astype(jnp.int32), jnp.full((1,), M, jnp.int32)])
+
+
+def _lookup_fc(d_step, cum_ext):
+    """f, c for byte symbols [B, K] via 256-wide compare-select (no gather)."""
+    oh = d_step[:, :, None] == jnp.arange(256, dtype=jnp.int32)[None, None, :]
+    c = jnp.sum(jnp.where(oh, cum_ext[None, None, :256], 0), axis=-1)
+    cn = jnp.sum(jnp.where(oh, cum_ext[None, None, 1:257], 0), axis=-1)
+    return (cn - c).astype(jnp.int32), c.astype(jnp.int32)
+
+
+def _divmod_smallf(x, f):
+    """floor(x/f), x%f for x uint32 < 2^31 and f int32 in [1, M].
+
+    Two-step base-2^PROB_BITS long division through exact f32 divisions
+    (each operand < 2^24), one off-by-one correction per step — TPU has
+    no fast integer divide by a vector.
+    """
+    ff = f.astype(jnp.float32)
+    xh = (x >> jnp.uint32(PROB_BITS)).astype(jnp.int32)  # < 2^19
+    qh = jnp.floor(xh.astype(jnp.float32) / ff).astype(jnp.int32)
+    rh = xh - qh * f
+    qh = qh + (rh >= f).astype(jnp.int32) - (rh < 0).astype(jnp.int32)
+    rh = rh - jnp.where(rh >= f, f, 0) + jnp.where(rh < 0, f, 0)
+    v = rh * M + (x & jnp.uint32(M - 1)).astype(jnp.int32)  # < 2^24
+    ql = jnp.floor(v.astype(jnp.float32) / ff).astype(jnp.int32)
+    r = v - ql * f
+    ql = ql + (r >= f).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    r = r - jnp.where(r >= f, f, 0) + jnp.where(r < 0, f, 0)
+    q = qh * M + ql
+    return q.astype(U32), r.astype(U32)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def rans_encode_batch(data, dlen, freqs, cum, K: int = K_DEFAULT):
+def rans_encode_batch(data, dlen, freqs, cum, K: int = K_SHARED):
     """[B, N] u8 -> (stream [B, M] u8, stream_len [B]).
 
-    Format: [K states u32 LE][K lane lens u32 LE][lane bytes, reversed].
-    The loop carries only dense per-step buffers (dynamic_update_slice,
-    no scatter), and lane compaction happens once post-loop via a
-    binary-search gather — the scatter-free formulation TPUs like.
+    Format v2: [K states u32 LE][shared body, decoder consumption order].
     """
     B, N = data.shape
     nsteps = -(-N // K)
-    S = 2 * nsteps  # emission slots
-    d = data.astype(jnp.int32)
-    f_of = freqs[d].astype(jnp.uint32)  # [B, N]
-    c_of = cum[d].astype(jnp.uint32)
-    rows, lanes = _lane_grid(B, K)
+    Np = nsteps * K
+    d = jnp.pad(data.astype(jnp.int32), ((0, 0), (0, Np - N)))
+    cume = _cum_ext(cum)
+    lanes = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     def body(i, carry):
-        states, vals, flags = carry
+        states, groups, flags = carry
         t = nsteps - 1 - i
-        idx = jnp.broadcast_to(t * K + lanes, (B, K))
-        active = idx < dlen[:, None]
-        ai = jnp.clip(idx, 0, N - 1)
-        f = jnp.where(active, jnp.take_along_axis(f_of, ai, axis=1), 1)
-        c = jnp.where(active, jnp.take_along_axis(c_of, ai, axis=1), 0)
+        d_t = jax.lax.dynamic_slice(d, (0, t * K), (B, K))
+        active = (t * K + lanes) < dlen[:, None]
+        f, c = _lookup_fc(d_t, cume)
+        f = jnp.where(active, f, 1)
+        c = jnp.where(active, c, 0)
         x = states
-        ubound = f * jnp.uint32((RANS_L >> PROB_BITS) << 8)
-        over1 = active & (x >= ubound)
+        ubound = f.astype(U32) * jnp.uint32((RANS_L >> PROB_BITS) << 8)
         b1 = (x & jnp.uint32(0xFF)).astype(jnp.uint8)
+        over1 = active & (x >= ubound)
         x = jnp.where(over1, x >> jnp.uint32(8), x)
-        over2 = active & (x >= ubound)
         b2 = (x & jnp.uint32(0xFF)).astype(jnp.uint8)
+        over2 = active & (x >= ubound)
         x = jnp.where(over2, x >> jnp.uint32(8), x)
-        newx = (x // f << jnp.uint32(PROB_BITS)) + (x % f) + c
+        q, r = _divmod_smallf(x, f)
+        newx = (q << jnp.uint32(PROB_BITS)) + r + c.astype(U32)
         states = jnp.where(active, newx, x)
-        vals = jax.lax.dynamic_update_slice(
-            vals, jnp.stack([b1, b2]), (2 * i, 0, 0)
-        )
-        flags = jax.lax.dynamic_update_slice(
-            flags, jnp.stack([over1, over2]), (2 * i, 0, 0)
-        )
-        return states, vals, flags
+        g = jnp.concatenate([jnp.where(over2, b2, b1), b1], axis=1)  # [B, 2K]
+        fl = jnp.concatenate([over1, over2], axis=1)
+        groups = jax.lax.dynamic_update_slice(groups, g[None], (t, 0, 0))
+        flags = jax.lax.dynamic_update_slice(flags, fl[None], (t, 0, 0))
+        return states, groups, flags
 
-    states = jnp.full((B, K), RANS_L, dtype=jnp.uint32)
-    vals = jnp.zeros((S, B, K), dtype=jnp.uint8)
-    flags = jnp.zeros((S, B, K), dtype=bool)
-    states, vals, flags = jax.lax.fori_loop(0, nsteps, body, (states, vals, flags))
+    states = jnp.full((B, K), RANS_L, dtype=U32)
+    groups = jnp.zeros((nsteps, B, 2 * K), dtype=jnp.uint8)
+    flags = jnp.zeros((nsteps, B, 2 * K), dtype=bool)
+    states, groups, flags = jax.lax.fori_loop(0, nsteps, body, (states, groups, flags))
 
-    # per-lane compaction + reversal: output byte p of lane = emission
-    # lane_n-1-p; its slot via binary search over the flag prefix sums
-    vals = jnp.transpose(vals, (1, 2, 0))  # [B, K, S]
-    flags = jnp.transpose(flags, (1, 2, 0)).astype(jnp.int32)
-    ends = jnp.cumsum(flags, axis=2)
-    lane_n = ends[:, :, -1]
-    cap = S
-    p = jnp.arange(cap, dtype=jnp.int32)
-    want = lane_n[:, :, None] - 1 - p[None, None, :]  # emission index, desc
-    want = jnp.clip(want, 0, cap - 1)
-    # emission index q lives in the slot s with ends[s] >= q+1 (flags[s]=1)
-    slot = jax.vmap(jax.vmap(lambda e, q: jnp.searchsorted(e, q, side="left")))(
-        ends, want + 1
-    )
-    lane_bytes = jnp.take_along_axis(vals, jnp.clip(slot, 0, cap - 1), axis=2)
+    cand = jnp.transpose(groups, (1, 0, 2)).reshape(B, nsteps * 2 * K)
+    keep = jnp.transpose(flags, (1, 0, 2)).reshape(B, nsteps * 2 * K)
+    body_bytes, body_len = monotone_compact(cand, keep)
 
     def u32le_grid(x):  # [B, K] -> [B, 4K] u8
-        shifts = jnp.array([0, 8, 16, 24], jnp.uint32).reshape(1, 1, 4)
+        shifts = jnp.array([0, 8, 16, 24], U32).reshape(1, 1, 4)
         return (
-            ((x.astype(jnp.uint32)[:, :, None] >> shifts) & jnp.uint32(0xFF))
+            ((x.astype(U32)[:, :, None] >> shifts) & jnp.uint32(0xFF))
             .astype(jnp.uint8)
             .reshape(B, 4 * K)
         )
 
-    segments = [
-        (u32le_grid(states), jnp.full((B,), 4 * K, jnp.int32)),
-        (u32le_grid(lane_n), jnp.full((B,), 4 * K, jnp.int32)),
-    ]
-    for k in range(K):
-        segments.append((lane_bytes[:, k, :], lane_n[:, k]))
-    total = 8 * K + K * cap
-    return rowwise_concat(segments, total)
+    stream = jnp.concatenate([u32le_grid(states), body_bytes], axis=1)
+    return stream, 4 * K + body_len
 
 
-@functools.partial(jax.jit, static_argnames=("K", "N"))
-def rans_decode_batch(stream, base_off, dlen, freqs, cum, slot_sym_shared,
-                      N: int, K: int = K_DEFAULT):
-    """Decode [B] streams starting at base_off -> data [B, N] u8."""
+def _decode_symbol(x, cume):
+    """slot -> (sym, f, c) via compare-select against the 257-entry CDF."""
+    slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
+    ge = slot[:, :, None] >= cume[None, None, 1:257]  # cum[s+1] <= slot
+    sym = jnp.sum(ge.astype(jnp.int32), axis=-1)
+    le = slot[:, :, None] >= cume[None, None, :256]
+    c = jnp.max(jnp.where(le, cume[None, None, :256], 0), axis=-1)
+    gt = slot[:, :, None] < cume[None, None, 1:257]
+    cn = jnp.min(jnp.where(gt, cume[None, None, 1:257], M), axis=-1)
+    return sym, (cn - c).astype(jnp.int32), c.astype(jnp.int32), slot
+
+
+@functools.partial(jax.jit, static_argnames=("N", "K"))
+def rans_decode_batch(stream, base_off, dlen, freqs, cum, N: int,
+                      K: int = K_SHARED):
+    """Decode [B] v2 streams starting at base_off -> data [B, N] u8.
+
+    Pure-XLA reference path (per-step byte gather); the TPU hot path is
+    engine/rans_pallas.py, which this matches byte-for-byte.
+    """
     B, Mb = stream.shape
-    rows, lanes = _lane_grid(B, K)
+    lanes = jnp.arange(K, dtype=jnp.int32)[None, :]
 
     def rd_u32(off):  # off [B, K] byte offsets -> u32
         def b(i):
             return jnp.take_along_axis(
                 stream, jnp.clip(off + i, 0, Mb - 1), axis=1
-            ).astype(jnp.uint32)
+            ).astype(U32)
 
         return b(0) | (b(1) << 8) | (b(2) << 16) | (b(3) << 24)
 
     state_off = base_off[:, None] + 4 * jnp.broadcast_to(lanes, (B, K))
     states = rd_u32(state_off)
-    lane_n = rd_u32(state_off + 4 * K).astype(jnp.int32)
-    lane_start = (
-        base_off[:, None]
-        + 8 * K
-        + jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(lane_n, axis=1)[:, :-1]], axis=1
-        )
-    )
-    nsteps = -(-N // K)
-    freqs_u = freqs.astype(jnp.uint32)
-    cum_u = cum.astype(jnp.uint32)
+    body = rowwise_shift_left(stream, base_off + 4 * K, Mb)
+    cume = _cum_ext(cum)
 
-    def body(t, carry):
-        states, lane_ptr, out = carry
-        idx = jnp.broadcast_to(t * K + lanes, (B, K))
-        active = idx < dlen[:, None]
+    if jax.default_backend() == "tpu":
+        from honours_tpu.engine.rans_pallas import R, rans_decode_pallas
+
+        if B % R == 0:
+            # total consumption is <= 2 bytes/symbol; keep the VMEM block
+            # within the 16 MB scoped limit regardless of stream caps
+            cap = min(Mb, 2 * N + 256)
+            return rans_decode_pallas(
+                body[:, :cap], states.astype(jnp.int32), dlen, cume, N, K
+            )
+
+    nsteps = -(-N // K)
+
+    def body_fn(t, carry):
+        states, ptr, out = carry
+        active = (t * K + lanes) < dlen[:, None]
         x = states
-        slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
-        sym = slot_sym_shared[slot]
+        sym, f, c, slot = _decode_symbol(x, cume)
         out = jax.lax.dynamic_update_slice(
             out, sym.astype(jnp.uint8)[None], (t, 0, 0)
         )
-        f = freqs_u[sym]
-        c = cum_u[sym]
-        newx = f * (x >> jnp.uint32(PROB_BITS)) + slot.astype(jnp.uint32) - c
+        newx = f.astype(U32) * (x >> jnp.uint32(PROB_BITS)) + slot.astype(
+            U32
+        ) - c.astype(U32)
         x = jnp.where(active, newx, x)
         for _ in range(2):
             under = active & (x < jnp.uint32(RANS_L))
-            bidx = jnp.clip(lane_start + lane_ptr, 0, Mb - 1)
-            b = jnp.take_along_axis(stream, bidx, axis=1).astype(jnp.uint32)
+            rank = jnp.cumsum(under.astype(jnp.int32), axis=1) - under.astype(
+                jnp.int32
+            )
+            bidx = jnp.clip(ptr[:, None] + rank, 0, Mb - 1)
+            b = jnp.take_along_axis(body, bidx, axis=1).astype(U32)
             x = jnp.where(under, (x << jnp.uint32(8)) | b, x)
-            lane_ptr = lane_ptr + under.astype(jnp.int32)
-        return x, lane_ptr, out
+            ptr = ptr + under.sum(axis=1).astype(jnp.int32)
+        return x, ptr, out
 
     out = jnp.zeros((nsteps, B, K), dtype=jnp.uint8)
-    lane_ptr = jnp.zeros((B, K), dtype=jnp.int32)
-    states, lane_ptr, out = jax.lax.fori_loop(0, nsteps, body, (states, lane_ptr, out))
+    ptr = jnp.zeros((B,), dtype=jnp.int32)
+    states, ptr, out = jax.lax.fori_loop(0, nsteps, body_fn, (states, ptr, out))
     out = jnp.transpose(out, (1, 0, 2)).reshape(B, nsteps * K)
     return out[:, :N]
 
 
 def make_tables(freqs_np: np.ndarray):
-    """Device tables for the canned CDF: (freqs, cum, slot_sym)."""
+    """Device tables for the canned CDF: (freqs, cum)."""
     freqs_np = np.asarray(freqs_np, dtype=np.int64)
     cum_np = np.concatenate([[0], np.cumsum(freqs_np)])[:256]
-    slot_sym = np.repeat(np.arange(256, dtype=np.int32), freqs_np)
-    return (
-        jnp.asarray(freqs_np, jnp.int32),
-        jnp.asarray(cum_np, jnp.int32),
-        jnp.asarray(slot_sym, jnp.int32),
-    )
+    return jnp.asarray(freqs_np, jnp.int32), jnp.asarray(cum_np, jnp.int32)

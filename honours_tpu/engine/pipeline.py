@@ -24,7 +24,7 @@ from honours_tpu.engine.vbbe21 import (
     vbbe21_decode_batch,
     vbbe21_parts_batch,
 )
-from honours_tpu.kernels.rans import K_DEFAULT
+from honours_tpu.kernels.rans import K_SHARED
 from honours_tpu.transforms.core import jnp_unzigdelta, jnp_zigdelta
 
 
@@ -54,8 +54,8 @@ def press_srans_batch(sig, n, freqs, cum):
 
 
 @functools.partial(jax.jit, static_argnames=("L", "K"))
-def depress_srans_batch(stream, n, freqs, cum, slot_sym, L: int,
-                        K: int = K_DEFAULT):
+def depress_srans_batch(stream, n, freqs, cum, L: int,
+                        K: int = K_SHARED):
     """Batched srans_vbbe21_zd decode -> [B, L] int16."""
     from honours_tpu.engine.bits import read_u16le
 
@@ -69,9 +69,7 @@ def depress_srans_batch(stream, n, freqs, cum, slot_sym, L: int,
     _, end_off, nex = vbbe21_decode_batch(
         stream, jnp.full((B,), 2, jnp.int32), n - 1, v_dummy, L
     )
-    data = rans_decode_batch(
-        stream, end_off, n - 1 - nex, freqs, cum, slot_sym, L, K
-    )
+    data = rans_decode_batch(stream, end_off, n - 1 - nex, freqs, cum, L, K)
     vals, _, _ = vbbe21_decode_batch(
         stream, jnp.full((B,), 2, jnp.int32), n - 1, data, L
     )

@@ -169,3 +169,91 @@ def rans_decode_static(stream: bytes, n: int, freqs: np.ndarray,
 
 def rans_bound(n: int, K: int = K_DEFAULT) -> int:
     return 32 + 384 + 8 * K + 2 * n + 64
+
+
+# ---------------------------------------------------------------------------
+# shared-stream interleaved rANS (format v2 — the srans flagship body)
+# ---------------------------------------------------------------------------
+#
+# Layout: [K states u32 LE][shared byte stream].  No per-lane lengths: all
+# lanes emit into ONE stream in exactly the order the decoder consumes —
+# per decode step, round-1 refill bytes for lanes 0..K-1 (ascending), then
+# round-2 bytes.  This makes the per-step byte group contiguous, which is
+# what lets the TPU decoder fetch one window per read per step instead of
+# doing K scattered lane reads (the ryg_rans SIMD interleaving, cf.
+# PAPERS.md "RAS: A Bit-Exact rANS Accelerator").
+
+K_SHARED = 32
+
+
+def rans_encode_shared(data: np.ndarray, freqs: np.ndarray,
+                       K: int = K_SHARED) -> bytes:
+    """Encode bytes with a caller-supplied normalized table (sum == M)."""
+    d = np.asarray(data, dtype=np.uint8)
+    n = d.size
+    freqs = np.asarray(freqs, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(freqs)])[:256]
+    f_all = freqs[d].astype(np.uint64) if n else np.zeros(0, np.uint64)
+    c_all = cum[d].astype(np.uint64) if n else np.zeros(0, np.uint64)
+    nsteps = -(-n // K) if n else 0
+    states = np.full(K, RANS_L, dtype=np.uint64)
+    lanes = np.arange(K)
+    groups = []
+    for t in range(nsteps - 1, -1, -1):
+        idx = t * K + lanes
+        active = idx < n
+        ai = np.minimum(idx, n - 1)
+        f = np.where(active, f_all[ai], 1)
+        c = np.where(active, c_all[ai], 0)
+        x = states.copy()
+        ubound = f * np.uint64((RANS_L >> PROB_BITS) << 8)
+        b1 = (x & np.uint64(0xFF)).astype(np.uint8)
+        over1 = active & (x >= ubound)
+        x = np.where(over1, x >> np.uint64(8), x)
+        b2 = (x & np.uint64(0xFF)).astype(np.uint8)
+        over2 = active & (x >= ubound)
+        x = np.where(over2, x >> np.uint64(8), x)
+        states = np.where(
+            active, (x // f << np.uint64(PROB_BITS)) + (x % f) + c, x
+        )
+        round1 = np.where(over2, b2, b1)[over1]
+        round2 = b1[over2]
+        groups.append(round1.tobytes() + round2.tobytes())
+    groups.reverse()
+    return states.astype("<u4").tobytes() + b"".join(groups)
+
+
+def rans_decode_shared(stream: bytes, n: int, freqs: np.ndarray,
+                       K: int = K_SHARED) -> np.ndarray:
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(freqs)])[:256]
+    slot_sym = np.repeat(np.arange(256, dtype=np.uint8), freqs)
+    states = (
+        np.frombuffer(stream, dtype="<u4", count=K).astype(np.uint64).copy()
+    )
+    ptr = 4 * K
+    freqs_u = freqs.astype(np.uint64)
+    cum_u = cum.astype(np.uint64)
+    out = np.empty(n, dtype=np.uint8)
+    lanes = np.arange(K)
+    nsteps = -(-n // K) if n else 0
+    for t in range(nsteps):
+        idx = t * K + lanes
+        active = idx < n
+        x = states
+        slot = x & np.uint64(M - 1)
+        sym = slot_sym[slot]
+        out[idx[active]] = sym[active]
+        x = np.where(
+            active, freqs_u[sym] * (x >> np.uint64(PROB_BITS)) + slot - cum_u[sym], x
+        )
+        for _ in range(2):
+            under = active & (x < np.uint64(RANS_L))
+            cnt = int(under.sum())
+            if cnt:
+                b = buf[ptr : ptr + cnt].astype(np.uint64)
+                x[under] = (x[under] << np.uint64(8)) | b
+                ptr += cnt
+        states = x
+    return out

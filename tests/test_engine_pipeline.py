@@ -34,7 +34,7 @@ def batch(fixture_reads):
 
 def test_srans_encode_exact(batch):
     sigs, sig, n = batch
-    freqs, cum, _ = canned_rans_tables()
+    freqs, cum = canned_rans_tables()
     stream, slen = press_srans_batch(sig, n, freqs, cum)
     stream, slen = np.asarray(stream), np.asarray(slen)
     c = registry.get("srans_vbbe21_zd")
@@ -44,9 +44,9 @@ def test_srans_encode_exact(batch):
 
 def test_srans_decode_lossless(batch):
     sigs, sig, n = batch
-    freqs, cum, slot_sym = canned_rans_tables()
+    freqs, cum = canned_rans_tables()
     stream, _ = press_srans_batch(sig, n, freqs, cum)
-    out = np.asarray(depress_srans_batch(stream, n, freqs, cum, slot_sym, L))
+    out = np.asarray(depress_srans_batch(stream, n, freqs, cum, L))
     for i, s in enumerate(sigs):
         assert np.array_equal(out[i, : s.size], s), i
 
@@ -54,7 +54,7 @@ def test_srans_decode_lossless(batch):
 def test_srans_cross_decode(batch):
     """Serial host codec decodes the batched streams and vice versa."""
     sigs, sig, n = batch
-    freqs, cum, slot_sym = canned_rans_tables()
+    freqs, cum = canned_rans_tables()
     c = registry.get("srans_vbbe21_zd")
     # host encode -> batched decode
     streams = [c.press(s) for s in sigs]
@@ -63,7 +63,7 @@ def test_srans_cross_decode(batch):
     for i, x in enumerate(streams):
         buf[i, : len(x)] = np.frombuffer(x, np.uint8)
     out = np.asarray(
-        depress_srans_batch(jnp.asarray(buf), n, freqs, cum, slot_sym, L)
+        depress_srans_batch(jnp.asarray(buf), n, freqs, cum, L)
     )
     for i, s in enumerate(sigs):
         assert np.array_equal(out[i, : s.size], s), i

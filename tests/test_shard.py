@@ -25,7 +25,7 @@ def test_sharded_encode_matches_single_device():
     sig = rng.integers(300, 900, (B, L)).astype(np.int16)
     n = np.full((B,), L, np.int32)
     n[3] = 100
-    freqs, cum, _ = canned_rans_tables()
+    freqs, cum = canned_rans_tables()
 
     stream1, len1 = press_srans_batch(jnp.asarray(sig), jnp.asarray(n), freqs, cum)
     mesh = make_mesh()
@@ -69,7 +69,7 @@ def test_metrics_psum_collective():
     B, L = 8, 256
     sig = rng.integers(0, 500, (B, L)).astype(np.int16)
     n = np.full((B,), L, np.int32)
-    freqs, cum, _ = canned_rans_tables()
+    freqs, cum = canned_rans_tables()
     mesh = make_mesh()
     _, out_len, comp, raw = sharded_encode(
         mesh, lambda s, nn, f, c: press_srans_batch(s, nn, f, c), sig, n, freqs, cum
