@@ -152,13 +152,14 @@ def main():
     # ---- srans flagship ----
     log("compiling srans pipeline...")
     freqs, cum = canned_rans_tables()
-    s2, l2 = press_srans_batch(sig, n, freqs, cum)
+    EMAX = L // 16  # ~6% exception budget; lossless assert below verifies
+    s2, l2 = press_srans_batch(sig, n, freqs, cum, EMAX)
     srans_ratio = nbytes / int(jnp.sum(l2))
-    d2 = depress_srans_batch(s2, n, freqs, cum, L)
+    d2 = depress_srans_batch(s2, n, freqs, cum, L, emax=EMAX)
     srans_ok = bool(jnp.all(d2 == sig))
-    t_enc2 = timed(lambda: press_srans_batch(sig, n, freqs, cum)[1], sync)
+    t_enc2 = timed(lambda: press_srans_batch(sig, n, freqs, cum, EMAX)[1], sync)
     t_dec2 = timed(
-        lambda: depress_srans_batch(s2, n, freqs, cum, L), sync
+        lambda: depress_srans_batch(s2, n, freqs, cum, L, emax=EMAX), sync
     )
     srans_gbps = 2 * nbytes / (t_enc2 + t_dec2) / 1e9
     log(

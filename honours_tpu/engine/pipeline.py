@@ -37,25 +37,33 @@ def _zd_parts(sig, n):
     return zd0, rest
 
 
-@functools.partial(jax.jit, static_argnames=())
-def press_srans_batch(sig, n, freqs, cum):
-    """Batched srans_vbbe21_zd encode -> (stream [B, M] u8, len [B])."""
+@functools.partial(jax.jit, static_argnames=("emax",))
+def press_srans_batch(sig, n, freqs, cum, emax: int = None):
+    """Batched srans_vbbe21_zd encode -> (stream [B, M] u8, len [B]).
+
+    `emax` statically caps the exception buffers (real nanopore zd data
+    has ~1% exceptions; L/16 is a comfortable production cap that
+    shrinks every buffer-width-bound stage).  Rows with more exceptions
+    than emax produce invalid streams — verify via nex or round-trip
+    when capping.  Default None = L (always safe).
+    """
     B, L = sig.shape
+    emax = emax or L
     zd0, rest = _zd_parts(sig, n)
-    parts = vbbe21_parts_batch(rest, n - 1)
+    parts = vbbe21_parts_batch(rest, n - 1, emax)
     body, body_len = rans_encode_batch(parts["data"], parts["data_len"], freqs, cum)
     segs = (
         [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32))]
         + parts["exsegs"]
         + [(body, body_len)]
     )
-    total = 2 + 4 + (4 + 4 * L + 1) + (4 + 2 * L + 1) + 6 + body.shape[1]
+    total = 2 + 4 + (4 + 4 * emax + 1) + (4 + 2 * emax + 1) + 6 + body.shape[1]
     return rowwise_concat(segs, total)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K"))
+@functools.partial(jax.jit, static_argnames=("L", "K", "emax"))
 def depress_srans_batch(stream, n, freqs, cum, L: int,
-                        K: int = K_SHARED):
+                        K: int = K_SHARED, emax: int = None):
     """Batched srans_vbbe21_zd decode -> [B, L] int16."""
     from honours_tpu.engine.bits import read_u16le
 
@@ -67,11 +75,11 @@ def depress_srans_batch(stream, n, freqs, cum, L: int,
     # vbbe21_decode_batch parses the ex block and takes decoded data; to get
     # the data we need end_off first — parse in two passes.
     _, end_off, nex = vbbe21_decode_batch(
-        stream, jnp.full((B,), 2, jnp.int32), n - 1, v_dummy, L
+        stream, jnp.full((B,), 2, jnp.int32), n - 1, v_dummy, L, emax
     )
     data = rans_decode_batch(stream, end_off, n - 1 - nex, freqs, cum, L, K)
     vals, _, _ = vbbe21_decode_batch(
-        stream, jnp.full((B,), 2, jnp.int32), n - 1, data, L
+        stream, jnp.full((B,), 2, jnp.int32), n - 1, data, L, emax
     )
     # reassemble zd: [zd0, vals[:n-1]]
     zd = jnp.concatenate([zd0[:, None].astype(jnp.int32), vals[:, : L - 1]], axis=1)

@@ -120,11 +120,17 @@ def vbbe21_encode_batch(v, n, emax: int = None):
     return rowwise_concat(segs, total)
 
 
-def vbbe21_decode_batch(stream, base_off, n, data, L: int):
+def vbbe21_decode_batch(stream, base_off, n, data, L: int, emax: int = None):
     """Reconstruct [B, L] uint16-valued int32 from the exception block at
     `base_off` in `stream` plus already-entropy-decoded residual `data`
-    [B, L] (first n-nex bytes valid).  Returns values [B, L]."""
+    [B, L] (first n-nex bytes valid).  Returns values [B, L].
+
+    `emax` statically caps the exception count the vectorized unpack is
+    sized for (buffers scale with it); rows with nex > emax decode
+    incorrectly — callers that cap must verify nex (or round-trip).
+    """
     B, M = stream.shape
+    emax = emax or L
     nex = read_u32le(stream, base_off).astype(jnp.int32)
     many = nex > 1
     one = nex == 1
@@ -136,7 +142,7 @@ def vbbe21_decode_batch(stream, base_off, n, data, L: int):
         stream, jnp.clip(pos_b_off[:, None], 0, M - 1), axis=1
     )[:, 0].astype(jnp.int32)
     # positions: unpack nex fields of pos_bits each, after the 1B header
-    pos_delta = unpack_fields_msb(stream, pos_b_off + 1, pos_bits_b, nex, L)
+    pos_delta = unpack_fields_msb(stream, pos_b_off + 1, pos_bits_b, nex, emax)
     ex_pos_many = jnp.cumsum(pos_delta.astype(jnp.int32) + 1, axis=1) - 1
 
     off_after_pos = jnp.where(many, off + 4 + pos_len, off)
@@ -145,7 +151,7 @@ def vbbe21_decode_batch(stream, base_off, n, data, L: int):
     val_bits_b = jnp.take_along_axis(
         stream, jnp.clip(val_b_off[:, None], 0, M - 1), axis=1
     )[:, 0].astype(jnp.int32)
-    ex_val_many = unpack_fields_msb(stream, val_b_off + 1, val_bits_b, nex, L)
+    ex_val_many = unpack_fields_msb(stream, val_b_off + 1, val_bits_b, nex, emax)
 
     # nex == 1 raw framing
     pos1 = read_u32le(stream, off).astype(jnp.int32)
@@ -161,10 +167,11 @@ def vbbe21_decode_batch(stream, base_off, n, data, L: int):
 
     # rebuild values: place exceptions at their positions (strictly
     # increasing -> compact+expand), fill the rest from `data` by rank
-    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
-    ex_valid = idx < nex[:, None]
+    eidx = jnp.arange(emax, dtype=jnp.int32)[None, :]
+    ex_valid = eidx < nex[:, None]
     tgt = jnp.where(ex_valid, jnp.clip(ex_pos, 0, L - 1), 0)
     ex_grid, ex_mask = monotone_place(ex_val + 256, ex_valid, tgt, L)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     # expand data bytes onto the non-exception positions
     nonex = (~ex_mask) & (idx < n[:, None])
