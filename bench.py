@@ -38,7 +38,7 @@ class BenchTimeout(Exception):
 def _alarm(_sig, _frm):
     raise BenchTimeout()
 
-B = 64
+B = 256
 L = 1 << 16
 REPS = 10
 

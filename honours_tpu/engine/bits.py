@@ -185,6 +185,35 @@ def pack_fields_msb(values, bit_len, bit_off, valid, n_words: int):
     return _words_to_bytes_be(words[:, :n_words])
 
 
+def pack_fields_lsb(values, bit_len, bit_off, valid, n_words: int):
+    """scatter_bits_lsb semantics without XLA scatter (huffman/rice order).
+
+    Same segmented-OR scheme as pack_fields_msb; bit j of values[i] is
+    stream bit bit_off[i] + j, bytes little-endian per 32-bit word.
+    """
+    from honours_tpu.engine.permute import seg_or_scan
+
+    B, N = values.shape
+    v = values.astype(U32)
+    word = (bit_off >> 5).astype(jnp.int32)
+    s = (bit_off & 31).astype(U32)
+    w0 = v << s
+    hi_sh = (jnp.uint32(32) - s) & jnp.uint32(31)
+    w1 = jnp.where(s == 0, jnp.uint32(0), v >> hi_sh)
+    w0 = jnp.where(valid, w0, 0).astype(U32)
+    w1 = jnp.where(valid, w1, 0).astype(U32)
+    seg = jnp.where(valid, word, n_words + 7)
+    or0 = seg_or_scan(w0, seg)
+    or1 = seg_or_scan(w1, seg)
+    nxt = jnp.concatenate(
+        [seg[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1
+    )
+    last = valid & (seg != nxt)
+    placed0, _ = monotone_place(or0, last, seg, n_words + 1)
+    placed1, _ = monotone_place(or1, last, seg + 1, n_words + 1)
+    return _words_to_bytes_le((placed0 | placed1)[:, :n_words])
+
+
 def unpack_fields_msb(stream, base_byte, mb, count, N: int, mb_cap: int = 24):
     """Read `count` MSB-first fields of per-row width mb (<= mb_cap <= 24)
     starting at byte base_byte of each row.  Gather-free: stream bytes are

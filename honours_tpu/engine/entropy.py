@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from honours_tpu.engine.bits import rowwise_concat, scatter_bits_lsb, u32be_bytes
+from honours_tpu.engine.bits import pack_fields_lsb, rowwise_concat, u32be_bytes
 from honours_tpu.engine.permute import monotone_compact, rowwise_shift_left
 from honours_tpu.kernels.rans import M, PROB_BITS, RANS_L, K_SHARED
 
@@ -46,7 +46,7 @@ def shuff_encode_batch(data: jnp.ndarray, dlen: jnp.ndarray, lengths, codes):
     offs = ends - lens
     total_bits = ends[:, -1]
     n_words = (2 * N + 8 + 3) // 4  # max 22-bit codes => < 3 bytes/symbol
-    bits = scatter_bits_lsb(codes[d], lens, offs, valid, n_words)
+    bits = pack_fields_lsb(codes[d], lens, offs, valid, n_words)
     hdr = u32be_bytes(dlen)
     blob, blen = rowwise_concat(
         [(hdr, jnp.full((B,), 4, jnp.int32)), (bits, (total_bits + 7) // 8)],
@@ -65,12 +65,33 @@ def _cum_ext(cum):
     return jnp.concatenate([cum.astype(jnp.int32), jnp.full((1,), M, jnp.int32)])
 
 
+def _lut256(d, table):
+    """table[d] for d [B, K] in [0,256) and table [256, C] f32-exact values.
+
+    Two-level 16x16 one-hot select: the l-contraction is an MXU matmul,
+    so per-element VPU work is ~2x16 compares instead of 256.
+    """
+    C = table.shape[1]
+    T = table.astype(jnp.float32).reshape(16, 16, C)  # [hi, lo, C]
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    oh_lo = ((d & 15)[:, :, None] == i16[None, None, :]).astype(jnp.float32)
+    # HIGHEST precision: table values exceed 2^8, TPU default matmul
+    # precision is bf16 and would round them
+    inner = jnp.einsum(
+        "bkl,hlc->bkhc", oh_lo, T, precision=jax.lax.Precision.HIGHEST
+    )
+    oh_hi = ((d >> 4)[:, :, None] == i16[None, None, :]).astype(jnp.float32)
+    return jnp.einsum(
+        "bkh,bkhc->bkc", oh_hi, inner, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _lookup_fc(d_step, cum_ext):
-    """f, c for byte symbols [B, K] via 256-wide compare-select (no gather)."""
-    oh = d_step[:, :, None] == jnp.arange(256, dtype=jnp.int32)[None, None, :]
-    c = jnp.sum(jnp.where(oh, cum_ext[None, None, :256], 0), axis=-1)
-    cn = jnp.sum(jnp.where(oh, cum_ext[None, None, 1:257], 0), axis=-1)
-    return (cn - c).astype(jnp.int32), c.astype(jnp.int32)
+    """f, c for byte symbols [B, K] without gather (two-level select)."""
+    c_lo = cum_ext[:256].astype(jnp.float32)
+    c_hi = cum_ext[1:257].astype(jnp.float32)
+    fc = _lut256(d_step, jnp.stack([c_hi - c_lo, c_lo], axis=1))
+    return fc[:, :, 0].astype(jnp.int32), fc[:, :, 1].astype(jnp.int32)
 
 
 def _divmod_smallf(x, f):
@@ -155,15 +176,28 @@ def rans_encode_batch(data, dlen, freqs, cum, K: int = K_SHARED):
 
 
 def _decode_symbol(x, cume):
-    """slot -> (sym, f, c) via compare-select against the 257-entry CDF."""
+    """slot -> (sym, f, c) via hierarchical 16+16 range search (no gather).
+
+    Coarse bucket over cum[0::16], fine row fetched with an MXU one-hot
+    matmul, then f/c through the same two-level LUT.
+    """
     slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
-    ge = slot[:, :, None] >= cume[None, None, 1:257]  # cum[s+1] <= slot
-    sym = jnp.sum(ge.astype(jnp.int32), axis=-1)
-    le = slot[:, :, None] >= cume[None, None, :256]
-    c = jnp.max(jnp.where(le, cume[None, None, :256], 0), axis=-1)
-    gt = slot[:, :, None] < cume[None, None, 1:257]
-    cn = jnp.min(jnp.where(gt, cume[None, None, 1:257], M), axis=-1)
-    return sym, (cn - c).astype(jnp.int32), c.astype(jnp.int32), slot
+    cumf = cume[:256].astype(jnp.float32).reshape(16, 16)
+    slot_f = slot.astype(jnp.float32)
+    coarse = cumf[:, 0][None, None, :]  # cum[16h]
+    h = jnp.sum((slot_f[:, :, None] >= coarse).astype(jnp.int32), axis=-1) - 1
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    oh_h = (h[:, :, None] == i16[None, None, :]).astype(jnp.float32)
+    fine = jnp.einsum(
+        "bkh,hl->bkl", oh_h, cumf, precision=jax.lax.Precision.HIGHEST
+    )
+    sym = 16 * h + jnp.sum(
+        (slot_f[:, :, None] >= fine).astype(jnp.int32), axis=-1
+    ) - 1
+    c_lo = cume[:256].astype(jnp.float32)
+    c_hi = cume[1:257].astype(jnp.float32)
+    fc = _lut256(sym, jnp.stack([c_hi - c_lo, c_lo], axis=1))
+    return sym, fc[:, :, 0].astype(jnp.int32), fc[:, :, 1].astype(jnp.int32), slot
 
 
 @functools.partial(jax.jit, static_argnames=("N", "K"))

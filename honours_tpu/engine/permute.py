@@ -59,19 +59,20 @@ def monotone_compact(values, keep, fill=0):
     holes = jnp.cumsum((~keep).astype(jnp.int32), axis=1) - (~keep).astype(
         jnp.int32
     )  # exclusive: holes strictly before j
-    s = jnp.where(keep, holes, 0)
-    alive = keep
+    # fuse (shift, alive) into one word: w = shift << 1 | alive — one
+    # array less per pass, and the passes run at HBM speed
+    w = jnp.where(keep, (holes << 1) | 1, 0)
     a = values
     for k in range(_nbits(N)):
         bit = 1 << k
+        wbit = bit << 1
         src_a = _shift_left(a, bit, 0)
-        src_s = _shift_left(s, bit, 0)
-        src_alive = _shift_left(alive, bit, False)
-        incoming = src_alive & ((src_s & bit) != 0)
-        leaving = alive & ((s & bit) != 0)
+        src_w = _shift_left(w, bit, 0)
+        incoming = (src_w & (1 | wbit)) == (1 | wbit)
+        leaving = (w & (1 | wbit)) == (1 | wbit)
         a = jnp.where(incoming, src_a, a)
-        s = jnp.where(incoming, src_s & ~bit, jnp.where(leaving, 0, s))
-        alive = incoming | (alive & ~leaving)
+        w = jnp.where(incoming, src_w & ~wbit, jnp.where(leaving, 0, w))
+    alive = (w & 1) == 1
     count = keep.sum(axis=1).astype(jnp.int32)
     return jnp.where(alive, a, jnp.asarray(fill, a.dtype)), count
 
@@ -88,19 +89,20 @@ def monotone_expand(values, shift, valid, width: int, fill=0):
         raise ValueError("width must be >= N")
     pad = width - N
     a = jnp.pad(values, ((0, 0), (0, pad)))
-    s = jnp.pad(jnp.where(valid, shift, 0), ((0, 0), (0, pad)))
-    alive = jnp.pad(valid, ((0, 0), (0, pad)))
+    w = jnp.pad(
+        jnp.where(valid, (shift << 1) | 1, 0), ((0, 0), (0, pad))
+    )
     max_shift = width  # caller guarantees targets < width
     for k in reversed(range(_nbits(max_shift))):
         bit = 1 << k
+        wbit = bit << 1
         src_a = _shift_right(a, bit, 0)
-        src_s = _shift_right(s, bit, 0)
-        src_alive = _shift_right(alive, bit, False)
-        incoming = src_alive & ((src_s & bit) != 0)
-        leaving = alive & ((s & bit) != 0)
+        src_w = _shift_right(w, bit, 0)
+        incoming = (src_w & (1 | wbit)) == (1 | wbit)
+        leaving = (w & (1 | wbit)) == (1 | wbit)
         a = jnp.where(incoming, src_a, a)
-        s = jnp.where(incoming, src_s & ~bit, jnp.where(leaving, 0, s))
-        alive = incoming | (alive & ~leaving)
+        w = jnp.where(incoming, src_w & ~wbit, jnp.where(leaving, 0, w))
+    alive = (w & 1) == 1
     return jnp.where(alive, a, jnp.asarray(fill, a.dtype)), alive
 
 

@@ -64,3 +64,28 @@ def test_unpack_zero_minbits():
         jnp.full((B,), N, jnp.int32), N,
     )
     assert np.all(np.asarray(out) == 0)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pack_fields_lsb_matches_scatter(seed):
+    from honours_tpu.engine.bits import pack_fields_lsb, scatter_bits_lsb
+
+    rng = np.random.default_rng(40 + seed)
+    B, N = 3, 300
+    lens = rng.integers(1, 23, (B, N)).astype(np.int32)
+    vals = (rng.integers(0, 1 << 22, (B, N)) & ((1 << lens) - 1)).astype(
+        np.uint32
+    )
+    count = rng.integers(0, N + 1, (B,)).astype(np.int32)
+    valid = np.arange(N)[None, :] < count[:, None]
+    offs = np.cumsum(np.where(valid, lens, 0), axis=1) - np.where(valid, lens, 0)
+    n_words = (N * 22 + 31) // 32 + 1
+    a = scatter_bits_lsb(
+        jnp.asarray(vals), jnp.asarray(lens), jnp.asarray(offs),
+        jnp.asarray(valid), n_words,
+    )
+    b = pack_fields_lsb(
+        jnp.asarray(vals), jnp.asarray(lens), jnp.asarray(offs),
+        jnp.asarray(valid), n_words,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
