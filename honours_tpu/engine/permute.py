@@ -59,8 +59,26 @@ def monotone_compact(values, keep, fill=0):
     holes = jnp.cumsum((~keep).astype(jnp.int32), axis=1) - (~keep).astype(
         jnp.int32
     )  # exclusive: holes strictly before j
+    count = keep.sum(axis=1).astype(jnp.int32)
     # fuse (shift, alive) into one word: w = shift << 1 | alive — one
-    # array less per pass, and the passes run at HBM speed
+    # array less per pass, and the passes run at HBM speed.  8-bit
+    # payloads ride inside the word too (w = s<<9 | v<<1 | alive), so a
+    # byte compaction touches exactly one i32 array per pass.
+    if values.dtype == jnp.uint8 and N < (1 << 22):
+        w = jnp.where(
+            keep, (holes << 9) | (values.astype(jnp.int32) << 1) | 1, 0
+        )
+        for k in range(_nbits(N)):
+            wbit = 1 << (k + 9)
+            src_w = _shift_left(w, 1 << k, 0)
+            incoming = (src_w & (1 | wbit)) == (1 | wbit)
+            leaving = (w & (1 | wbit)) == (1 | wbit)
+            # no bit-clear needed: each shift bit is consumed in exactly
+            # one pass, so the word keeps its payload intact
+            w = jnp.where(incoming, src_w, jnp.where(leaving, 0, w))
+        alive = (w & 1) == 1
+        out = ((w >> 1) & 0xFF).astype(jnp.uint8)
+        return jnp.where(alive, out, jnp.asarray(fill, jnp.uint8)), count
     w = jnp.where(keep, (holes << 1) | 1, 0)
     a = values
     for k in range(_nbits(N)):
@@ -71,10 +89,35 @@ def monotone_compact(values, keep, fill=0):
         incoming = (src_w & (1 | wbit)) == (1 | wbit)
         leaving = (w & (1 | wbit)) == (1 | wbit)
         a = jnp.where(incoming, src_a, a)
-        w = jnp.where(incoming, src_w & ~wbit, jnp.where(leaving, 0, w))
+        w = jnp.where(incoming, src_w, jnp.where(leaving, 0, w))
+    alive = (w & 1) == 1
+    return jnp.where(alive, a, jnp.asarray(fill, a.dtype)), count
+
+
+def compaction_shifts(keep):
+    """Expansion shifts of the kept elements: out[i] = (grid position of
+    the i-th kept element) - i = holes-before-it, packed left.
+
+    Because every shift bit is consumed in exactly one pass, the walk
+    never needs to clear bits — so the holes count doubles as both the
+    routing shift AND the payload, and the whole compaction touches one
+    i32 array per pass.  Feeding (shifts, count) to monotone_expand
+    inverts the compaction.  Returns (shifts [B, N] i32, count [B]).
+    """
+    B, N = keep.shape
+    holes = jnp.cumsum((~keep).astype(jnp.int32), axis=1) - (~keep).astype(
+        jnp.int32
+    )
+    w = jnp.where(keep, (holes << 1) | 1, 0)
+    for k in range(_nbits(N)):
+        wbit = 1 << (k + 1)
+        src_w = _shift_left(w, 1 << k, 0)
+        incoming = (src_w & (1 | wbit)) == (1 | wbit)
+        leaving = (w & (1 | wbit)) == (1 | wbit)
+        w = jnp.where(incoming, src_w, jnp.where(leaving, 0, w))
     alive = (w & 1) == 1
     count = keep.sum(axis=1).astype(jnp.int32)
-    return jnp.where(alive, a, jnp.asarray(fill, a.dtype)), count
+    return jnp.where(alive, w >> 1, 0), count
 
 
 def monotone_expand(values, shift, valid, width: int, fill=0):
@@ -101,7 +144,7 @@ def monotone_expand(values, shift, valid, width: int, fill=0):
         incoming = (src_w & (1 | wbit)) == (1 | wbit)
         leaving = (w & (1 | wbit)) == (1 | wbit)
         a = jnp.where(incoming, src_a, a)
-        w = jnp.where(incoming, src_w & ~wbit, jnp.where(leaving, 0, w))
+        w = jnp.where(incoming, src_w, jnp.where(leaving, 0, w))
     alive = (w & 1) == 1
     return jnp.where(alive, a, jnp.asarray(fill, a.dtype)), alive
 

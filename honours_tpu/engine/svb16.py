@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from honours_tpu.engine.permute import (
+    compaction_shifts,
     monotone_compact,
     monotone_expand,
     rowwise_concat,
@@ -90,10 +91,7 @@ def svb16_decode_batch(stream: jnp.ndarray, n: jnp.ndarray, L: int, zd: bool = T
     # inverse of the encode compaction: expand data bytes onto the
     # candidate grid [B, 2L] (even = lo byte, odd = hi byte when two)
     keep = _interleave2(valid, valid & (two == 1))
-    grid_pos = jnp.arange(2 * L, dtype=jnp.int32)[None, :]
-    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - keep.astype(jnp.int32)
-    shift_g = jnp.where(keep, grid_pos - rank, 0)
-    shift, cnt = monotone_compact(shift_g, keep)
+    shift, cnt = compaction_shifts(keep)
     rk = jnp.arange(2 * L, dtype=jnp.int32)[None, :]
     validc = rk < cnt[:, None]
     grid, _ = monotone_expand(data.astype(jnp.int32), shift, validc, 2 * L)

@@ -110,3 +110,23 @@ def test_rowwise_concat_matches_reference_impl():
         assert tlen[b] == ref.size
         np.testing.assert_array_equal(out[b, : ref.size], ref)
         np.testing.assert_array_equal(out[b, ref.size :], 0)
+
+
+def test_compaction_shifts_inverts_compaction():
+    from honours_tpu.engine.permute import compaction_shifts
+
+    rng = np.random.default_rng(11)
+    B, N = 4, 300
+    vals = rng.integers(1, 255, (B, N)).astype(np.int32)
+    keep = rng.random((B, N)) < 0.6
+    compacted, count = monotone_compact(jnp.asarray(vals), jnp.asarray(keep))
+    shifts, count2 = compaction_shifts(jnp.asarray(keep))
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(count2))
+    valid = np.arange(N)[None, :] < np.asarray(count)[:, None]
+    back, covered = monotone_expand(
+        compacted, shifts, jnp.asarray(valid), N
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back), np.where(keep, vals, 0)
+    )
+    np.testing.assert_array_equal(np.asarray(covered), keep)
