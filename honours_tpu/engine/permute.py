@@ -131,11 +131,25 @@ def monotone_expand(values, shift, valid, width: int, fill=0):
     if width < N:
         raise ValueError("width must be >= N")
     pad = width - N
+    max_shift = width  # caller guarantees targets < width
+    if values.dtype == jnp.uint8 and width < (1 << 22):
+        w = jnp.where(
+            valid, (shift << 9) | (values.astype(jnp.int32) << 1) | 1, 0
+        )
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        for k in reversed(range(_nbits(max_shift))):
+            wbit = 1 << (k + 9)
+            src_w = _shift_right(w, 1 << k, 0)
+            incoming = (src_w & (1 | wbit)) == (1 | wbit)
+            leaving = (w & (1 | wbit)) == (1 | wbit)
+            w = jnp.where(incoming, src_w, jnp.where(leaving, 0, w))
+        alive = (w & 1) == 1
+        out = ((w >> 1) & 0xFF).astype(jnp.uint8)
+        return jnp.where(alive, out, jnp.asarray(fill, jnp.uint8)), alive
     a = jnp.pad(values, ((0, 0), (0, pad)))
     w = jnp.pad(
         jnp.where(valid, (shift << 1) | 1, 0), ((0, 0), (0, pad))
     )
-    max_shift = width  # caller guarantees targets < width
     for k in reversed(range(_nbits(max_shift))):
         bit = 1 << k
         wbit = bit << 1

@@ -179,6 +179,7 @@ def vbbe21_decode_batch(stream, base_off, n, data, L: int, emax: int = None):
     shift_g = jnp.where(nonex, idx - rank, 0)
     shift, cnt = monotone_compact(shift_g, nonex)
     validc = idx < cnt[:, None]
+    # i32 on purpose: see the XLA fusion-miscompile note in svb16.py
     data_grid, _ = monotone_expand(
         data.astype(jnp.int32), jnp.where(validc, shift, 0), validc, L
     )
