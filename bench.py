@@ -25,6 +25,9 @@ import time
 import numpy as np
 
 BASELINE_VBZ_ENC_DEC_GBPS = 2 * 113.471 / (388.1 + 381.8)
+#: the reference method with comparable ratio to srans (rc01s-vbbe21-zd,
+#: ratio 2.9913; BASELINE.md enc 5828.5 s / dec 6640.1 s single-core)
+BASELINE_RC01S_ENC_DEC_GBPS = 2 * 113.471 / (5828.5 + 6640.1)
 
 #: hard wall-clock budget; the axon tunnel can wedge indefinitely and a
 #: hung bench must still emit its JSON line
@@ -184,6 +187,11 @@ def main():
                     "srans_dec_GBps": round(nbytes / t_dec2 / 1e9, 4),
                     "srans_ratio": round(srans_ratio, 4),
                     "srans_lossless": srans_ok,
+                    "srans_vs_rc01s_throughput": round(
+                        srans_gbps / BASELINE_RC01S_ENC_DEC_GBPS, 1
+                    ),
+                    "ref_vbz_ratio": 2.9284,
+                    "ref_rc01s_ratio": 2.9913,
                     "batch": [B, L],
                 },
             }
