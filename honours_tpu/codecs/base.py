@@ -73,6 +73,7 @@ def _ensure_loaded():
         rc,
         rice,
         srans,
+        srans2,
         stall,
         svb,
         uintc,

@@ -257,3 +257,126 @@ def rans_decode_shared(stream: bytes, n: int, freqs: np.ndarray,
                 ptr += cnt
         states = x
     return out
+
+
+# ---------------------------------------------------------------------------
+# order-1 shared-stream rANS (format v3 — the srans2 flagship body)
+# ---------------------------------------------------------------------------
+#
+# Block-interleaved lanes: lane k owns the contiguous slice
+# [k*S, (k+1)*S) of the byte stream, so the order-1 context of every
+# symbol (its predecessor byte) lives in the SAME lane one step earlier
+# — all K contexts are available in lockstep during decode.  The first
+# symbol of each lane slice uses the virtual context 256 (the marginal
+# row of the table).  This is the TPU-parallel answer to the reference's
+# serial adaptive order-1/context-mixing coders (rccsenc/rcmsenc,
+# press/Turbo-Range-Coder/turborc.h:48,75): conditioning is kept, but
+# the model is a canned 257x256 CDF table so decode stays lane-parallel.
+#
+# Wire format v3:
+#   [S:u32 LE][K states u32 LE][shared body, decoder consumption order]
+# Body byte order per decode step: round-1 refill bytes for lanes
+# 0..K-1 ascending, then round-2 bytes (same discipline as v2).
+
+CTX0 = 256  # virtual context of each lane's first symbol
+
+
+def o1_cum(freq_tab: np.ndarray) -> np.ndarray:
+    """[257, 256] freq rows (each sums to M) -> [257, 256] cum-low rows."""
+    freq_tab = np.asarray(freq_tab, dtype=np.int64)
+    return np.concatenate(
+        [np.zeros((freq_tab.shape[0], 1), np.int64),
+         np.cumsum(freq_tab, axis=1)[:, :-1]],
+        axis=1,
+    )
+
+
+def rans_encode_o1(data: np.ndarray, freq_tab: np.ndarray,
+                   K: int = K_SHARED, S: int = None) -> bytes:
+    """Encode bytes with a canned order-1 table [257, 256] (rows sum to M,
+    every cell >= 1; row 256 = marginal for lane-first symbols)."""
+    d = np.asarray(data, dtype=np.uint8)
+    n = d.size
+    freq_tab = np.asarray(freq_tab, dtype=np.int64)
+    cum_tab = o1_cum(freq_tab)
+    if S is None:
+        S = -(-n // K) if n else 0
+    Np = K * S
+    dp = np.zeros(Np, dtype=np.int64)
+    dp[:n] = d
+    grid = dp.reshape(K, S) if S else dp.reshape(K, 0)
+    ctx = np.full((K, S), CTX0, dtype=np.int64)
+    if S > 1:
+        ctx[:, 1:] = grid[:, :-1]
+    lanes = np.arange(K)
+    states = np.full(K, RANS_L, dtype=np.uint64)
+    groups = []
+    for t in range(S - 1, -1, -1):
+        active = (lanes * S + t) < n
+        sym = grid[:, t]
+        f = np.where(active, freq_tab[ctx[:, t], sym], 1).astype(np.uint64)
+        c = np.where(active, cum_tab[ctx[:, t], sym], 0).astype(np.uint64)
+        x = states.copy()
+        ubound = f * np.uint64((RANS_L >> PROB_BITS) << 8)
+        b1 = (x & np.uint64(0xFF)).astype(np.uint8)
+        over1 = active & (x >= ubound)
+        x = np.where(over1, x >> np.uint64(8), x)
+        b2 = (x & np.uint64(0xFF)).astype(np.uint8)
+        over2 = active & (x >= ubound)
+        x = np.where(over2, x >> np.uint64(8), x)
+        states = np.where(
+            active, (x // f << np.uint64(PROB_BITS)) + (x % f) + c, x
+        )
+        round1 = np.where(over2, b2, b1)[over1]
+        round2 = b1[over2]
+        groups.append(round1.tobytes() + round2.tobytes())
+    groups.reverse()
+    return (
+        np.uint32(S).tobytes()
+        + states.astype("<u4").tobytes()
+        + b"".join(groups)
+    )
+
+
+def rans_decode_o1(stream: bytes, n: int, freq_tab: np.ndarray,
+                   K: int = K_SHARED) -> np.ndarray:
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    freq_tab = np.asarray(freq_tab, dtype=np.int64)
+    cum_tab = o1_cum(freq_tab)
+    # slot -> symbol LUT per context row
+    slot_sym = np.zeros((freq_tab.shape[0], M), dtype=np.uint8)
+    for r in range(freq_tab.shape[0]):
+        slot_sym[r] = np.repeat(np.arange(256, dtype=np.uint8), freq_tab[r])
+    S = int(np.frombuffer(stream, dtype="<u4", count=1)[0])
+    states = (
+        np.frombuffer(stream, dtype="<u4", count=K, offset=4)
+        .astype(np.uint64)
+        .copy()
+    )
+    ptr = 4 + 4 * K
+    out = np.zeros(K * S, dtype=np.uint8)
+    lanes = np.arange(K)
+    ctx = np.full(K, CTX0, dtype=np.int64)
+    for t in range(S):
+        active = (lanes * S + t) < n
+        x = states
+        slot = (x & np.uint64(M - 1)).astype(np.int64)
+        sym = slot_sym[ctx, slot].astype(np.int64)
+        out[lanes * S + t] = np.where(active, sym, 0)
+        x = np.where(
+            active,
+            freq_tab[ctx, sym].astype(np.uint64) * (x >> np.uint64(PROB_BITS))
+            + slot.astype(np.uint64)
+            - cum_tab[ctx, sym].astype(np.uint64),
+            x,
+        )
+        for _ in range(2):
+            under = active & (x < np.uint64(RANS_L))
+            cnt = int(under.sum())
+            if cnt:
+                b = buf[ptr : ptr + cnt].astype(np.uint64)
+                x[under] = (x[under] << np.uint64(8)) | b
+                ptr += cnt
+        states = x
+        ctx = np.where(active, sym, ctx)
+    return out[:n]

