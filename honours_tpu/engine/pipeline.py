@@ -20,8 +20,10 @@ from honours_tpu.engine.entropy import (
     rans_encode_batch,
     shuff_encode_batch,
 )
+from honours_tpu.engine.entropy_o1 import rans_o1_decode_batch, rans_o1_encode_batch
 from honours_tpu.engine.vbbe21 import (
-    vbbe21_decode_batch,
+    vbbe21_fill_batch,
+    vbbe21_parse_batch,
     vbbe21_parts_batch,
 )
 from honours_tpu.kernels.rans import K_SHARED
@@ -69,24 +71,67 @@ def depress_srans_batch(stream, n, freqs, cum, L: int,
 
     B, Mb = stream.shape
     zd0 = read_u16le(stream, jnp.zeros((B,), jnp.int32))
-    # exception block starts at byte 2; entropy-decode residual first:
-    # we must locate the entropy body, which requires parsing the ex block.
-    v_dummy = jnp.zeros((B, L), jnp.int32)
-    # vbbe21_decode_batch parses the ex block and takes decoded data; to get
-    # the data we need end_off first — parse in two passes.
-    _, end_off, nex = vbbe21_decode_batch(
-        stream, jnp.full((B,), 2, jnp.int32), n - 1, v_dummy, L, emax
+    # exception block starts at byte 2; parse it once to locate the
+    # entropy body, decode the body, then merge.
+    parsed = vbbe21_parse_batch(
+        stream, jnp.full((B,), 2, jnp.int32), n - 1, L, emax
     )
-    data = rans_decode_batch(stream, end_off, n - 1 - nex, freqs, cum, L, K)
-    vals, _, _ = vbbe21_decode_batch(
-        stream, jnp.full((B,), 2, jnp.int32), n - 1, data, L, emax
+    data = rans_decode_batch(
+        stream, parsed["end_off"], n - 1 - parsed["nex"], freqs, cum, L, K
     )
-    # reassemble zd: [zd0, vals[:n-1]]
-    zd = jnp.concatenate([zd0[:, None].astype(jnp.int32), vals[:, : L - 1]], axis=1)
+    vals = vbbe21_fill_batch(parsed, data, n - 1, L)
+    return _zd_merge(zd0, vals, n, L)
+
+
+def _zd_merge(zd0, vals, n, L: int):
+    """Reassemble [zd0, vals[:n-1]] and invert the zigzag-delta."""
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    zd = jnp.concatenate(
+        [zd0[:, None].astype(jnp.int32), vals[:, : L - 1]], axis=1
+    )
     zd = jnp.where(pos < n[:, None], zd, 0)
     out = jnp_unzigdelta(zd)
     return jnp.where(pos < n[:, None], out, 0).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("emax",))
+def press_srans2_batch(sig, n, tabs, emax: int = None):
+    """Batched srans2_vbbe21_zd (order-1) encode -> (stream, len).
+
+    `tabs` from entropy_o1.make_o1_tables (use canned_o1_device_tables).
+    Byte-exact with the host codec per row, including ragged lengths
+    (the engine emits the same per-row S = ceil(data_len/K) header).
+    """
+    B, L = sig.shape
+    emax = emax or L
+    zd0, rest = _zd_parts(sig, n)
+    parts = vbbe21_parts_batch(rest, n - 1, emax)
+    body, body_len = rans_o1_encode_batch(parts["data"], parts["data_len"], tabs)
+    segs = (
+        [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32))]
+        + parts["exsegs"]
+        + [(body, body_len)]
+    )
+    total = 2 + 4 + (4 + 4 * emax + 1) + (4 + 2 * emax + 1) + 6 + body.shape[1]
+    return rowwise_concat(segs, total)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "K", "emax"))
+def depress_srans2_batch(stream, n, tabs, L: int,
+                         K: int = K_SHARED, emax: int = None):
+    """Batched srans2_vbbe21_zd decode -> [B, L] int16."""
+    from honours_tpu.engine.bits import read_u16le
+
+    B, Mb = stream.shape
+    zd0 = read_u16le(stream, jnp.zeros((B,), jnp.int32))
+    parsed = vbbe21_parse_batch(
+        stream, jnp.full((B,), 2, jnp.int32), n - 1, L, emax
+    )
+    data = rans_o1_decode_batch(
+        stream, parsed["end_off"], n - 1 - parsed["nex"], tabs, L, K
+    )
+    vals = vbbe21_fill_batch(parsed, data, n - 1, L)
+    return _zd_merge(zd0, vals, n, L)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -116,6 +161,13 @@ def canned_rans_tables():
     from honours_tpu.codecs.srans import canned_freqs
 
     return make_tables(canned_freqs())
+
+
+def canned_o1_device_tables():
+    from honours_tpu.engine.entropy_o1 import make_o1_tables
+    from honours_tpu.tables.o1 import canned_o1_freqs
+
+    return make_o1_tables(canned_o1_freqs())
 
 
 def canned_huffman_tables():

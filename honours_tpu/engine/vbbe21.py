@@ -120,10 +120,11 @@ def vbbe21_encode_batch(v, n, emax: int = None):
     return rowwise_concat(segs, total)
 
 
-def vbbe21_decode_batch(stream, base_off, n, data, L: int, emax: int = None):
-    """Reconstruct [B, L] uint16-valued int32 from the exception block at
-    `base_off` in `stream` plus already-entropy-decoded residual `data`
-    [B, L] (first n-nex bytes valid).  Returns values [B, L].
+def vbbe21_parse_batch(stream, base_off, n, L: int, emax: int = None):
+    """Parse the vbbe21 exception block at `base_off` (no residual data
+    needed).  Returns dict(ex_grid, ex_mask, nex, end_off): the exception
+    values already placed on the [B, L] grid, the block end offset (where
+    the entropy body starts), and the exception counts.
 
     `emax` statically caps the exception count the vectorized unpack is
     sized for (buffers scale with it); rows with nex > emax decode
@@ -165,14 +166,21 @@ def vbbe21_decode_batch(stream, base_off, n, data, L: int, emax: int = None):
         jnp.where(one, off + 6, off),
     )
 
-    # rebuild values: place exceptions at their positions (strictly
-    # increasing -> compact+expand), fill the rest from `data` by rank
+    # place exceptions at their positions (strictly increasing ->
+    # compact+expand)
     eidx = jnp.arange(emax, dtype=jnp.int32)[None, :]
     ex_valid = eidx < nex[:, None]
     tgt = jnp.where(ex_valid, jnp.clip(ex_pos, 0, L - 1), 0)
     ex_grid, ex_mask = monotone_place(ex_val + 256, ex_valid, tgt, L)
-    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return {"ex_grid": ex_grid, "ex_mask": ex_mask, "nex": nex,
+            "end_off": end_off}
 
+
+def vbbe21_fill_batch(parsed, data, n, L: int):
+    """Merge entropy-decoded residual bytes `data` [B, >=L] (first n-nex
+    valid) with a parsed exception block -> values [B, L]."""
+    ex_grid, ex_mask = parsed["ex_grid"], parsed["ex_mask"]
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     # expand data bytes onto the non-exception positions
     nonex = (~ex_mask) & (idx < n[:, None])
     rank = jnp.cumsum(nonex.astype(jnp.int32), axis=1) - nonex.astype(jnp.int32)
@@ -181,9 +189,16 @@ def vbbe21_decode_batch(stream, base_off, n, data, L: int, emax: int = None):
     validc = idx < cnt[:, None]
     # i32 on purpose: see the XLA fusion-miscompile note in svb16.py
     data_grid, _ = monotone_expand(
-        data.astype(jnp.int32), jnp.where(validc, shift, 0), validc, L
+        data[:, :L].astype(jnp.int32), jnp.where(validc, shift, 0), validc, L
     )
-
     valid = idx < n[:, None]
     v = jnp.where(ex_mask, ex_grid, data_grid)
-    return jnp.where(valid, v, 0), end_off, nex
+    return jnp.where(valid, v, 0)
+
+
+def vbbe21_decode_batch(stream, base_off, n, data, L: int, emax: int = None):
+    """Parse + fill in one call (see vbbe21_parse_batch for caveats).
+    Returns (values [B, L], end_off [B], nex [B])."""
+    parsed = vbbe21_parse_batch(stream, base_off, n, L, emax)
+    vals = vbbe21_fill_batch(parsed, data, n, L)
+    return vals, parsed["end_off"], parsed["nex"]
