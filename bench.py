@@ -51,6 +51,13 @@ def log(*a):
 
 
 def build_batch():
+    """B chunks of length L tiled from the fixture reads.
+
+    The fixture holds ~250 KB of unique signal; the batch tiles it to
+    fill [B, L].  Throughput numbers are unaffected by the tiling;
+    RATIOS are therefore reported over one unique pass only (see
+    unique_chunks below) and the JSON discloses corpus_unique_bytes.
+    """
     from honours_tpu.io.blow5 import read_signals
 
     reads = read_signals("tests/data/three-reads.blow5")
@@ -58,9 +65,10 @@ def build_batch():
     for s in reads:
         for i in range(0, s.size - L + 1, L):
             chunks.append(s[i : i + L])
+    n_unique = len(chunks)
     while len(chunks) < B:
         chunks = chunks + chunks
-    return np.stack(chunks[:B])
+    return np.stack(chunks[:B]), n_unique
 
 
 _RTT = None
@@ -113,8 +121,9 @@ def main():
 
     log("devices:", jax.devices())
     measure_rtt()
-    base = build_batch()
+    base, n_unique = build_batch()
     nbytes = base.size * 2
+    unique_bytes = n_unique * L * 2
     sig = jnp.asarray(base)
     n = jnp.full((B,), L, jnp.int32)
 
@@ -146,10 +155,10 @@ def main():
     t0 = time.time()
     vbz_bytes = sum(
         len(cctx.compress(stream_np[i, : lens_np[i]].tobytes())) + 4
-        for i in range(B)
+        for i in range(n_unique)
     )
     t_zstd = time.time() - t0
-    vbz_ratio = nbytes / vbz_bytes
+    vbz_ratio = unique_bytes / vbz_bytes
     log(f"VBZ (zstd over svb16-zd): ratio {vbz_ratio:.4f}, host zstd {t_zstd:.2f}s")
 
     # ---- srans flagship ----
@@ -157,7 +166,7 @@ def main():
     freqs, cum = canned_rans_tables()
     EMAX = L // 16  # ~6% exception budget; lossless assert below verifies
     s2, l2 = press_srans_batch(sig, n, freqs, cum, EMAX)
-    srans_ratio = nbytes / int(jnp.sum(l2))
+    srans_ratio = unique_bytes / int(jnp.sum(l2[:n_unique]))
     d2 = depress_srans_batch(s2, n, freqs, cum, L, emax=EMAX)
     srans_ok = bool(jnp.all(d2 == sig))
     t_enc2 = timed(lambda: press_srans_batch(sig, n, freqs, cum, EMAX)[1], sync)
@@ -169,6 +178,33 @@ def main():
         f"srans: enc {nbytes / t_enc2 / 1e9:.2f} GB/s, dec "
         f"{nbytes / t_dec2 / 1e9:.2f} GB/s, ratio {srans_ratio:.4f}, "
         f"lossless={srans_ok}"
+    )
+
+    # ---- srans2 flagship (order-1) ----
+    log("compiling srans2 pipeline...")
+    from honours_tpu.engine.pipeline import (
+        canned_o1_device_tables,
+        depress_srans2_batch,
+        press_srans2_batch,
+    )
+
+    tabs = canned_o1_device_tables()
+    s3, l3 = press_srans2_batch(sig, n, tabs, EMAX)
+    srans2_ratio = unique_bytes / int(jnp.sum(l3[:n_unique]))
+    d3 = depress_srans2_batch(s3, n, tabs, L, emax=EMAX)
+    srans2_ok = bool(jnp.all(d3 == sig))
+    # encode byte-parity with the host codec on one unique row
+    from honours_tpu.codecs.base import get as get_codec
+
+    host = get_codec("srans2_vbbe21_zd").press(base[0])
+    parity = np.asarray(s3[0, : int(l3[0])]).tobytes() == host
+    t_enc3 = timed(lambda: press_srans2_batch(sig, n, tabs, EMAX)[1], sync)
+    t_dec3 = timed(lambda: depress_srans2_batch(s3, n, tabs, L, emax=EMAX), sync)
+    srans2_gbps = 2 * nbytes / (t_enc3 + t_dec3) / 1e9
+    log(
+        f"srans2: enc {nbytes / t_enc3 / 1e9:.2f} GB/s, dec "
+        f"{nbytes / t_dec3 / 1e9:.2f} GB/s, ratio {srans2_ratio:.4f}, "
+        f"lossless={srans2_ok}, host-parity={parity}"
     )
 
     print(
@@ -190,9 +226,20 @@ def main():
                     "srans_vs_rc01s_throughput": round(
                         srans_gbps / BASELINE_RC01S_ENC_DEC_GBPS, 1
                     ),
+                    "srans2_enc_GBps": round(nbytes / t_enc3 / 1e9, 4),
+                    "srans2_dec_GBps": round(nbytes / t_dec3 / 1e9, 4),
+                    "srans2_ratio": round(srans2_ratio, 4),
+                    "srans2_lossless": srans2_ok,
+                    "srans2_host_parity": parity,
+                    "srans2_vs_rc01s_throughput": round(
+                        srans2_gbps / BASELINE_RC01S_ENC_DEC_GBPS, 1
+                    ),
                     "ref_vbz_ratio": 2.9284,
                     "ref_rc01s_ratio": 2.9913,
+                    "ref_dstall_ratio": 2.9917,
                     "batch": [B, L],
+                    "corpus_unique_bytes": unique_bytes,
+                    "ratio_basis": "unique fixture chunks only",
                 },
             }
         )

@@ -162,18 +162,58 @@ def run_method(codec, signals, per_read=False, out=None):
         )
 
 
+def run_method_tpu(name: str, signals, out=None):
+    """One TSV row for an engine-backed method through the batched path
+    (engine/runner.py: bucket -> jitted engine -> ordered streams)."""
+    from honours_tpu.engine import runner
+
+    out = out or sys.stdout
+    codec = registry.get(name)
+    raw = sum(s.size * 2 for s in signals)
+    t0 = time.perf_counter()
+    bound = sum(codec.bound(s.size) for s in signals)
+    t1 = time.perf_counter()
+    streams = runner.press_signals_tpu(signals, name)
+    t2 = time.perf_counter()
+    back = runner.depress_signals_tpu(
+        streams, [s.size for s in signals], name
+    )
+    t3 = time.perf_counter()
+    for idx, (sig, dec) in enumerate(zip(signals, back)):
+        if not np.array_equal(dec, sig):
+            raise AssertionError(f"{name} [tpu]: lossless check failed read {idx}")
+    press = sum(len(s) for s in streams)
+    print(
+        f"{name}\t{bound:.1f}\t{press:.1f}\t{raw / press:.6f}\t{raw:.1f}\t"
+        f"{t1 - t0:.6f}\t{t2 - t1:.6f}\t{t3 - t2:.6f}",
+        file=out,
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("file")
     ap.add_argument("--methods", default=None)
     ap.add_argument("--per-read", action="store_true")
     ap.add_argument("--list", action="store_true")
+    ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args(argv)
     if args.list:
         print("\n".join(registry.names()))
         return 0
-    methods = args.methods.split(",") if args.methods else DEFAULT_METHODS
     signals = [r.signal for r in read_blow5(args.file).reads]
+    if args.tpu:
+        from honours_tpu.engine import runner
+
+        methods = (
+            args.methods.split(",") if args.methods
+            else runner.engine_codec_names()
+        )
+        print(HDR)
+        for m in methods:
+            run_method_tpu(m, signals)
+        return 0
+    methods = args.methods.split(",") if args.methods else DEFAULT_METHODS
     if args.per_read:
         print("read\t" + HDR)
     else:

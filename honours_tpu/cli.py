@@ -24,16 +24,27 @@ def main(argv=None):
     p = sub.add_parser("press", help="compress signal field with a codec")
     p.add_argument("infile")
     p.add_argument("outfile")
-    p.add_argument("--codec", default="srans_vbbe21_zd")
+    p.add_argument("--codec", default="srans2_vbbe21_zd")
+    p.add_argument(
+        "--tpu", action="store_true",
+        help="route reads through the batched device engines "
+             "(bucketed, byte-identical streams; host fallback for "
+             "exception-cap overflows)",
+    )
 
     d = sub.add_parser("depress", help="restore stock BLOW5")
     d.add_argument("infile")
     d.add_argument("outfile")
+    d.add_argument("--tpu", action="store_true",
+                   help="decode through the batched device engines")
 
     b = sub.add_parser("bench", help="round-trip benchmark (reference TSV)")
     b.add_argument("file")
     b.add_argument("--methods", default=None)
     b.add_argument("--per-read", action="store_true")
+    b.add_argument("--tpu", action="store_true",
+                   help="bench the batched engine paths (TSV rows for "
+                        "the engine-backed methods)")
 
     sub.add_parser("codecs", help="list registered codecs")
 
@@ -71,14 +82,38 @@ def main(argv=None):
             forward += ["--methods", args.methods]
         if args.per_read:
             forward += ["--per-read"]
+        if args.tpu:
+            forward += ["--tpu"]
         return harness.main(forward)
 
     from honours_tpu.io import blow5
 
-    f5 = blow5.read_blow5(args.infile)
     if args.cmd == "press":
-        blow5.write_blow5(args.outfile, f5, signal_codec=args.codec)
+        f5 = blow5.read_blow5(args.infile)
+        streams = None
+        if args.tpu:
+            from honours_tpu.engine import runner
+
+            streams = runner.press_signals_tpu(
+                [r.signal for r in f5.reads], args.codec
+            )
+        blow5.write_blow5(
+            args.outfile, f5, signal_codec=args.codec, signal_streams=streams
+        )
     else:
+        f5 = blow5.read_blow5(args.infile, decode_signal=not args.tpu)
+        if args.tpu and f5.signal_press == blow5.SIGNAL_PRESS_HTPU:
+            from honours_tpu.engine import runner
+
+            name = blow5.htpu_codec_name(f5.header)
+            sigs = runner.depress_signals_tpu(
+                [r.signal_stream for r in f5.reads],
+                [r.signal_len for r in f5.reads],
+                name,
+            )
+            for r, s in zip(f5.reads, sigs):
+                r.signal = s
+                r.signal_stream = None
         f5.signal_press = blow5.SIGNAL_PRESS_SVB_ZD
         blow5.write_blow5(args.outfile, f5)
     print(

@@ -34,60 +34,57 @@ from honours_tpu.kernels.rans import CTX0, M, PROB_BITS, RANS_L
 
 R = 8    # reads per program (int32 sublane tile)
 W = 512  # cached window bytes per read (as rans_pallas.py)
-E = 2048  # elements per lookup program
+RB = 8    # lookup block rows
+CB = 256  # lookup block cols (RB*CB elements per program)
 
 
-def _lookup_kernel(sym_ref, ctx_ref, cmap_ref, tab_ref, f_ref, c_ref):
+def _lookup_kernel(sym_ref, ctx_ref, cmap_ref, tab_ref, fc_ref):
     r = tab_ref.shape[0]
-    ctx = ctx_ref[:, :]  # [E, 1]
-    i257 = jax.lax.broadcasted_iota(jnp.int32, (E, 257), 1)
-    cm = cmap_ref[0:1, :]
-    cctx = jnp.sum(jnp.where(ctx == i257, cm, 0), axis=1, keepdims=True)
-    ir = jax.lax.broadcasted_iota(jnp.int32, (E, r), 1)
-    oh = (cctx == ir).astype(jnp.bfloat16)
+    ctx = ctx_ref[:, :]  # [RB, CB]
+    i257 = jax.lax.broadcasted_iota(jnp.int32, (RB, CB, 257), 2)
+    cm = cmap_ref[0:1, :][:, None, :]  # [1, 1, 257]
+    cctx = jnp.sum(jnp.where(ctx[:, :, None] == i257, cm, 0), axis=2)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (RB, CB, r), 2)
+    oh = (cctx[:, :, None] == ir).astype(jnp.bfloat16)
     rows = jax.lax.dot_general(
-        oh, tab_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+        oh, tab_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [E, 768]
+    )  # [RB, CB, 768]
     sym = sym_ref[:, :]
-    i256 = jax.lax.broadcasted_iota(jnp.int32, (E, 256), 1)
-    ohs = (sym == i256).astype(jnp.float32)
-    p0 = jnp.sum(rows[:, 0:256] * ohs, axis=1, keepdims=True).astype(jnp.int32)
-    p1 = jnp.sum(rows[:, 256:512] * ohs, axis=1, keepdims=True).astype(jnp.int32)
-    p2 = jnp.sum(rows[:, 512:768] * ohs, axis=1, keepdims=True).astype(jnp.int32)
+    i256 = jax.lax.broadcasted_iota(jnp.int32, (RB, CB, 256), 2)
+    ohs = (sym[:, :, None] == i256).astype(jnp.float32)
+    p0 = jnp.sum(rows[:, :, 0:256] * ohs, axis=2).astype(jnp.int32)
+    p1 = jnp.sum(rows[:, :, 256:512] * ohs, axis=2).astype(jnp.int32)
+    p2 = jnp.sum(rows[:, :, 512:768] * ohs, axis=2).astype(jnp.int32)
     u = p0 * 65536 + p1 * 256 + p2  # (f-1) + cum * 4096
-    f_ref[:, :] = (u & (M - 1)) + 1
-    c_ref[:, :] = u >> PROB_BITS
+    fc_ref[:, :] = (u & (M - 1)) + 1 + ((u >> PROB_BITS) << 13)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def o1_lookup_pallas(sym, ctx, cmap, enc_planes, interpret: bool = False):
     """sym, ctx [B, G] i32 -> (f, c) [B, G] i32 exact table lookups."""
     B, G = sym.shape
-    n = B * G
-    npad = -(-n // E) * E
-    s = jnp.pad(sym.reshape(-1), (0, npad - n)).reshape(npad, 1)
-    c_ = jnp.pad(ctx.reshape(-1), (0, npad - n)).reshape(npad, 1)
-    f, c = pl.pallas_call(
+    Bp = -(-B // RB) * RB
+    Gp = -(-G // CB) * CB
+    s = jnp.pad(sym, ((0, Bp - B), (0, Gp - G)))
+    c_ = jnp.pad(ctx, ((0, Bp - B), (0, Gp - G)))
+    fc = pl.pallas_call(
         _lookup_kernel,
         interpret=interpret,
-        out_shape=(
-            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
-        ),
-        grid=(npad // E,),
+        out_shape=jax.ShapeDtypeStruct((Bp, Gp), jnp.int32),
+        grid=(Bp // RB, Gp // CB),
         in_specs=[
-            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 257), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, CB), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, CB), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 257), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (RB, CB), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
     )(s, c_, cmap.reshape(1, 257), enc_planes)
-    return f.reshape(-1)[:n].reshape(B, G), c.reshape(-1)[:n].reshape(B, G)
+    fc = fc[:B, :G]
+    return fc & 8191, fc >> 13
 
 
 def _decode_kernel(body_ref, states_ref, dlen_ref, sb_ref, cmap_ref, tab_ref,

@@ -70,8 +70,10 @@ class Blow5Read:
     offset: float
     range: float
     sampling_rate: float
-    signal: np.ndarray  # int16
+    signal: np.ndarray  # int16 (None when read with decode_signal=False)
     aux: bytes = b""  # raw trailing auxiliary bytes (opaque, preserved)
+    signal_stream: bytes = None  # raw codec stream (decode_signal=False)
+    signal_len: int = 0  # sample count for signal_stream
 
 
 @dataclass
@@ -136,7 +138,8 @@ def _compress_record(payload: bytes, method: int) -> bytes:
     raise ValueError(f"unknown record compression method {method}")
 
 
-def parse_record(payload: bytes, signal_press: int, signal_codec=None) -> Blow5Read:
+def parse_record(payload: bytes, signal_press: int, signal_codec=None,
+                 decode_signal: bool = True) -> Blow5Read:
     off = 0
     (rid_len,) = struct.unpack_from("<H", payload, off)
     off += 2
@@ -146,6 +149,9 @@ def parse_record(payload: bytes, signal_press: int, signal_codec=None) -> Blow5R
         struct.unpack_from("<IddddQ", payload, off)
     )
     off += 4 + 8 * 4 + 8
+    signal = None
+    signal_stream = None
+    signal_len = 0
     if signal_press == SIGNAL_PRESS_NONE:
         nbytes = int(len_raw) * 2
         signal = np.frombuffer(payload[off : off + nbytes], dtype="<i2").copy()
@@ -156,7 +162,13 @@ def parse_record(payload: bytes, signal_press: int, signal_codec=None) -> Blow5R
         nbytes = int(len_raw)
         blob = payload[off : off + nbytes]
         (nin,) = struct.unpack_from("<I", blob, 0)
-        signal = np.asarray(signal_codec.depress(blob[4:], nin), dtype=np.int16)
+        if decode_signal:
+            signal = np.asarray(
+                signal_codec.depress(blob[4:], nin), dtype=np.int16
+            )
+        else:
+            signal_stream = blob[4:]
+            signal_len = int(nin)
     else:
         raise ValueError(f"unhandled signal compression {signal_press}")
     off += nbytes
@@ -169,10 +181,13 @@ def parse_record(payload: bytes, signal_press: int, signal_codec=None) -> Blow5R
         sampling_rate=sampling_rate,
         signal=signal,
         aux=payload[off:],
+        signal_stream=signal_stream,
+        signal_len=signal_len,
     )
 
 
-def build_record(read: Blow5Read, signal_press: int, signal_codec=None) -> bytes:
+def build_record(read: Blow5Read, signal_press: int, signal_codec=None,
+                 pressed: bytes = None) -> bytes:
     rid = read.read_id.encode()
     head = struct.pack("<H", len(rid)) + rid
     meta = struct.pack(
@@ -191,14 +206,18 @@ def build_record(read: Blow5Read, signal_press: int, signal_codec=None) -> bytes
         length = len(sig)
     elif signal_press == SIGNAL_PRESS_HTPU:
         x = np.ascontiguousarray(read.signal, dtype=np.int16)
-        sig = struct.pack("<I", x.size) + signal_codec.press(x)
+        blob = pressed if pressed is not None else signal_codec.press(x)
+        sig = struct.pack("<I", x.size) + blob
         length = len(sig)
     else:
         raise ValueError(f"unhandled signal compression {signal_press}")
     return head + meta + struct.pack("<Q", length) + sig + read.aux
 
 
-def read_blow5(path: str) -> Blow5File:
+def read_blow5(path: str, decode_signal: bool = True) -> Blow5File:
+    """Parse a BLOW5 file.  decode_signal=False leaves HTPU-compressed
+    signals as raw streams (read.signal_stream / read.signal_len) so a
+    batched engine can decode them (engine/runner.py)."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:6] != MAGIC:
@@ -233,7 +252,9 @@ def read_blow5(path: str) -> Blow5File:
         off += 8
         payload = _decompress_record(data[off : off + rec_size], record_press)
         off += rec_size
-        out.reads.append(parse_record(payload, signal_press, signal_codec))
+        out.reads.append(
+            parse_record(payload, signal_press, signal_codec, decode_signal)
+        )
     return out
 
 
@@ -244,9 +265,15 @@ def htpu_codec_name(header: bytes):
     return None
 
 
-def write_blow5(path: str, f5: Blow5File, signal_codec: str = None) -> None:
+def write_blow5(path: str, f5: Blow5File, signal_codec: str = None,
+                signal_streams: list = None) -> None:
     """Write a BLOW5 file; signal_codec selects any registered codec for the
-    signal field (stored as the @htpu_signal_codec header line)."""
+    signal field (stored as the @htpu_signal_codec header line).
+
+    signal_streams: optional precomputed per-read compressed blobs (e.g.
+    from engine.runner.press_signals_tpu) — must match the codec's wire
+    format; build_record embeds them instead of calling codec.press.
+    """
     codec = None
     if signal_codec is not None:
         from honours_tpu.codecs import base as _registry
@@ -271,9 +298,11 @@ def write_blow5(path: str, f5: Blow5File, signal_codec: str = None) -> None:
     buf.write(b"\x00" * (HDR_SIZE_OFFSET - buf.tell()))
     buf.write(struct.pack("<I", len(f5.header)))
     buf.write(f5.header)
-    for read in f5.reads:
+    for i, read in enumerate(f5.reads):
+        pressed = signal_streams[i] if signal_streams is not None else None
         payload = _compress_record(
-            build_record(read, f5.signal_press, codec), f5.record_press
+            build_record(read, f5.signal_press, codec, pressed),
+            f5.record_press,
         )
         buf.write(struct.pack("<Q", len(payload)))
         buf.write(payload)

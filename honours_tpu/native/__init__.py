@@ -21,8 +21,17 @@ _lib = None
 
 
 def _build():
+    import shutil
+
+    cc = shutil.which("cc") or shutil.which("gcc") or shutil.which("clang")
+    if cc is None:
+        raise RuntimeError(
+            "honours_tpu.native needs a C compiler (cc/gcc/clang) to build "
+            f"{_SO.name}; install one or ship a prebuilt librangecoder.so "
+            "next to the sources"
+        )
     subprocess.run(
-        ["cc", "-O3", "-Wall", "-shared", "-fPIC"]
+        [cc, "-O3", "-Wall", "-shared", "-fPIC"]
         + [str(p) for p in _SRCS]
         + ["-o", str(_SO), "-lm", "-lz"],
         check=True,
@@ -33,10 +42,21 @@ def _build():
 def get_lib():
     global _lib
     if _lib is None:
-        if not _SO.exists() or any(
+        stale = _SO.exists() and any(
             _SO.stat().st_mtime < p.stat().st_mtime for p in _SRCS
-        ):
+        )
+        if not _SO.exists():
             _build()
+        elif stale:
+            try:
+                _build()
+            except RuntimeError:
+                import warnings
+
+                warnings.warn(
+                    "no C compiler found; using the stale prebuilt "
+                    f"{_SO.name} (sources are newer)"
+                )
         _lib = ctypes.CDLL(str(_SO))
         for fn in (
             "ht_rc0_encode",

@@ -83,8 +83,8 @@ def sharded_encode(mesh: Mesh, encode_fn, sig, n, *tables):
 
     encode_fn(sig, n, *tables) -> (stream, out_len); tables replicate, the
     batch shards by rows.  Returns (stream, out_len, comp_bytes, raw_bytes)
-    with stream/out_len sharded (gather happens lazily on host fetch —
-    the ordered gather).
+    with stream/out_len still sharded; use gather_lengths /
+    iter_ordered_payloads for the ragged ordered gather.
     """
     sig_s, n_s = shard_batch(mesh, jnp.asarray(sig), jnp.asarray(n))
     reps = [
@@ -94,3 +94,53 @@ def sharded_encode(mesh: Mesh, encode_fn, sig, n, *tables):
     stream, out_len = jax.jit(encode_fn)(sig_s, n_s, *reps)
     comp, raw = _metrics_psum(mesh, out_len, n_s)
     return stream, out_len, int(comp), int(raw)
+
+
+def assert_no_collectives(fn, *args):
+    """Compile fn(*args) and assert GSPMD inserted no cross-device data
+    movement into the body (the reads axis is embarrassingly parallel —
+    any all-gather/permute means a sharding regression)."""
+    txt = jax.jit(fn).lower(*args).compile().as_text()
+    bad = [
+        op for op in
+        ("all-gather", "all-to-all", "collective-permute", "all-reduce")
+        if op in txt
+    ]
+    assert not bad, f"encode body resharded: found {bad}"
+    return txt
+
+
+def gather_lengths(out_len) -> np.ndarray:
+    """Global [B] compressed lengths on every process (phase 1 of the
+    ragged ordered gather: lengths travel first, SURVEY §2.6)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(out_len, tiled=True))
+    return np.asarray(jax.device_get(out_len))
+
+
+def iter_ordered_payloads(stream, out_len, window_rows: int = 64):
+    """Phase 2: yield (global_row, payload_bytes) in global row order for
+    every row whose shard this process addresses, fetching at most
+    `window_rows` rows of the padded stream buffer per device transfer —
+    the whole corpus is never materialized at once.
+
+    Single-process: yields every row in order.  Multi-host: each process
+    yields its own rows (still globally ordered among themselves); file
+    assembly is a concatenation keyed by global_row.
+    """
+    lens = gather_lengths(out_len)
+    shards = sorted(
+        stream.addressable_shards,
+        key=lambda s: s.index[0].start or 0,
+    )
+    for shard in shards:
+        r0 = shard.index[0].start or 0
+        rows = shard.data.shape[0]
+        for j0 in range(0, rows, window_rows):
+            j1 = min(j0 + window_rows, rows)
+            window = np.asarray(jax.device_get(shard.data[j0:j1]))
+            for j in range(j1 - j0):
+                g = r0 + j0 + j
+                yield g, window[j, : lens[g]].tobytes()

@@ -76,3 +76,92 @@ def test_metrics_psum_collective():
     )
     assert comp == int(np.asarray(out_len).sum())
     assert raw == B * L * 2
+
+
+def test_encode_body_is_collective_free():
+    """GSPMD must not reshard the reads axis inside the encode body
+    (VERDICT r1: placement, not just values)."""
+    from honours_tpu.engine.pipeline import (
+        canned_o1_device_tables,
+        press_srans2_batch,
+    )
+    from honours_tpu.shard.mesh import assert_no_collectives, shard_batch
+
+    mesh = make_mesh()
+    tabs = canned_o1_device_tables()
+    rng = np.random.default_rng(3)
+    B, L = 16, 256
+    sig = rng.integers(400, 700, (B, L)).astype(np.int16)
+    n = np.full((B,), L, np.int32)
+    sig_s, n_s = shard_batch(mesh, jnp.asarray(sig), jnp.asarray(n))
+    assert_no_collectives(lambda s, nn: press_srans2_batch(s, nn, tabs), sig_s, n_s)
+
+
+def test_ordered_ragged_gather():
+    """Lengths gather first, payload windows second, original order."""
+    from honours_tpu.codecs.base import get as get_codec
+    from honours_tpu.engine.pipeline import canned_o1_device_tables, press_srans2_batch
+    from honours_tpu.shard.mesh import (
+        gather_lengths,
+        iter_ordered_payloads,
+        sharded_encode,
+    )
+
+    mesh = make_mesh()
+    tabs = canned_o1_device_tables()
+    rng = np.random.default_rng(4)
+    B, L = 16, 256
+    sig = rng.integers(400, 700, (B, L)).astype(np.int16)
+    n = rng.integers(1, L + 1, B).astype(np.int32)
+    stream, out_len, comp, raw = sharded_encode(
+        mesh, lambda s, nn: press_srans2_batch(s, nn, tabs), sig, n
+    )
+    lens = gather_lengths(out_len)
+    host = get_codec("srans2_vbbe21_zd")
+    rows = list(iter_ordered_payloads(stream, out_len, window_rows=3))
+    assert [g for g, _ in rows] == list(range(B))
+    for g, blob in rows:
+        assert len(blob) == lens[g]
+        assert blob == host.press(sig[g, : n[g]]), g
+    assert comp == int(lens.sum())
+
+
+def test_two_process_distributed_cpu(tmp_path):
+    """init_distributed + global mesh + psum + ordered gather across two
+    real processes (CPU collectives over the distributed runtime)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env_base = {
+        k: v
+        for k, v in __import__("os").environ.items()
+        if not k.startswith(("XLA_", "JAX_"))
+    }
+    procs = []
+    for pid in range(2):
+        env = dict(
+            env_base,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "tests/dist_worker.py"],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"DIST OK pid={pid}" in out, out[-2000:]
