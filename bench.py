@@ -207,6 +207,33 @@ def main():
         f"lossless={srans2_ok}, host-parity={parity}"
     )
 
+    # ---- synthetic transfer corpus (>=100 MB the canned tables never saw)
+    log("synthetic transfer corpus...")
+    from honours_tpu.analysis import synthesize_corpus
+
+    synth_batches = 3  # 3 x [256, 64Ki] int16 = 100.7 MB
+    synth_comp = synth_vbz = 0
+    synth_raw = synth_batches * B * L * 2
+    for bi in range(synth_batches):
+        sb = synthesize_corpus(B * L, seed=100 + bi).reshape(B, L)
+        sbj = jnp.asarray(sb)
+        _, l_s = press_srans2_batch(sbj, n, tabs, EMAX)
+        d_s = depress_srans2_batch(
+            press_srans2_batch(sbj, n, tabs, EMAX)[0], n, tabs, L, emax=EMAX
+        )
+        assert bool(jnp.all(d_s == sbj)), "synthetic round trip failed"
+        synth_comp += int(jnp.sum(l_s))
+        st_s, ol_s = svb16_encode_batch(sbj, n, zd=True)
+        st_np, ol_np = np.asarray(st_s), np.asarray(ol_s)
+        synth_vbz += sum(
+            len(cctx.compress(st_np[i, : ol_np[i]].tobytes())) + 4
+            for i in range(B)
+        )
+    log(
+        f"synthetic ({synth_raw / 1e6:.0f} MB): srans2 "
+        f"{synth_raw / synth_comp:.4f}, vbz {synth_raw / synth_vbz:.4f}"
+    )
+
     print(
         json.dumps(
             {
@@ -240,6 +267,9 @@ def main():
                     "batch": [B, L],
                     "corpus_unique_bytes": unique_bytes,
                     "ratio_basis": "unique fixture chunks only",
+                    "synth_raw_bytes": synth_raw,
+                    "synth_srans2_ratio": round(synth_raw / synth_comp, 4),
+                    "synth_vbz_ratio": round(synth_raw / synth_vbz, 4),
                 },
             }
         )

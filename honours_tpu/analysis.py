@@ -17,6 +17,42 @@ import numpy as np
 from honours_tpu.transforms.core import find_qts, zigdelta
 
 
+class Welford:
+    """Streaming min/max/mean/var/sd (press/stats.c:62-88 update_stats):
+    one-pass over chunks of samples, numerically stable."""
+
+    def __init__(self):
+        self.n = 0
+        self.mean = 0.0
+        self.m2 = 0.0
+        self.min = np.inf
+        self.max = -np.inf
+
+    def update(self, values) -> "Welford":
+        v = np.asarray(values, dtype=np.float64).ravel()
+        if v.size == 0:
+            return self
+        n2 = v.size
+        mean2 = v.mean()
+        m22 = ((v - mean2) ** 2).sum()
+        delta = mean2 - self.mean
+        n = self.n + n2
+        self.mean += delta * n2 / n
+        self.m2 += m22 + delta * delta * self.n * n2 / n
+        self.n = n
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        return self
+
+    @property
+    def var(self) -> float:
+        return self.m2 / self.n if self.n else 0.0
+
+    @property
+    def sd(self) -> float:
+        return float(np.sqrt(self.var))
+
+
 def freq_tally(values: np.ndarray, minlength=0) -> np.ndarray:
     """Value frequency tally (viz/freq_slow5.c / tally.c role)."""
     v = np.asarray(values)
@@ -83,3 +119,32 @@ def analyze_reads(signals) -> dict:
         "corpus_zd_entropy_bits": entropy_bits(all_zd),
     }
     return {"aggregate": agg, "reads": reads}
+
+
+def synthesize_corpus(n_samples: int, seed: int = 0) -> np.ndarray:
+    """Deterministic synthetic nanopore-like signal for transfer benches.
+
+    Event/noise model with parameters fitted to the fixture corpus
+    (tests/data/three-reads.blow5: mean 460.6, sd 76.8, |d|>30 jump rate
+    0.0387 -> mean dwell ~26, median |delta| 5): piecewise-constant event
+    levels with geometric dwell plus short-memory AR noise.  This is NOT
+    real signal — bench.py labels ratios on it as synthetic transfer; its
+    value is that the canned srans/srans2/shuffman tables never saw it.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    rng = np.random.default_rng(seed)
+    out = np.empty(0, np.float64)
+    while out.size < n_samples:
+        m = n_samples - out.size
+        n_ev = int(m / 26 * 1.3) + 16
+        dwell = rng.geometric(1 / 26.0, n_ev)
+        lvl = np.clip(rng.normal(461, 72, n_ev), 253, 697)
+        out = np.concatenate([out, np.repeat(lvl, dwell)[:m]])
+    eps = rng.normal(0, 5.5, n_samples)
+    k = 64
+    phis = 0.55 ** np.arange(k)
+    epad = np.concatenate([np.zeros(k - 1), eps])
+    noise = sliding_window_view(epad, k)[:, ::-1] @ phis
+    x = np.rint(out + noise)
+    return np.clip(x, -32768, 32767).astype(np.int16)

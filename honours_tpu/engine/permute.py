@@ -48,6 +48,16 @@ def _nbits(n: int) -> int:
     return max(1, (int(n) - 1).bit_length())
 
 
+def _pallas_walks():
+    """TPU route: the VMEM-resident walk kernels (permute_pallas.py) —
+    one HBM read+write instead of log2(N) full passes."""
+    import jax
+
+    from honours_tpu.engine import permute_pallas as pp
+
+    return pp if jax.default_backend() == "tpu" else None
+
+
 def monotone_compact(values, keep, fill=0):
     """Pack kept elements to the left of each row, preserving order.
 
@@ -56,6 +66,11 @@ def monotone_compact(values, keep, fill=0):
     values in order and the rest is `fill`.
     """
     B, N = values.shape
+    pp = _pallas_walks()
+    if pp is not None and fill == 0 and N <= (
+        pp.MAX_COLS if values.dtype == jnp.uint8 else pp.MAX_COLS_WIDE
+    ):
+        return pp.compact_walk(values, keep)
     holes = jnp.cumsum((~keep).astype(jnp.int32), axis=1) - (~keep).astype(
         jnp.int32
     )  # exclusive: holes strictly before j
@@ -63,8 +78,10 @@ def monotone_compact(values, keep, fill=0):
     # fuse (shift, alive) into one word: w = shift << 1 | alive — one
     # array less per pass, and the passes run at HBM speed.  8-bit
     # payloads ride inside the word too (w = s<<9 | v<<1 | alive), so a
-    # byte compaction touches exactly one i32 array per pass.
-    if values.dtype == jnp.uint8 and N < (1 << 22):
+    # byte compaction touches exactly one i32 array per pass.  NOT taken
+    # on TPU: XLA miscompiles the fused u8 walk at B=256 (reproduced on
+    # hardware); the TPU route above is the Pallas kernel instead.
+    if values.dtype == jnp.uint8 and N < (1 << 22) and pp is None:
         w = jnp.where(
             keep, (holes << 9) | (values.astype(jnp.int32) << 1) | 1, 0
         )
@@ -105,6 +122,9 @@ def compaction_shifts(keep):
     inverts the compaction.  Returns (shifts [B, N] i32, count [B]).
     """
     B, N = keep.shape
+    pp = _pallas_walks()
+    if pp is not None and N <= pp.MAX_COLS:
+        return pp.compaction_shifts_walk(keep)
     holes = jnp.cumsum((~keep).astype(jnp.int32), axis=1) - (~keep).astype(
         jnp.int32
     )
@@ -130,9 +150,15 @@ def monotone_expand(values, shift, valid, width: int, fill=0):
     B, N = values.shape
     if width < N:
         raise ValueError("width must be >= N")
+    pp = _pallas_walks()
+    if pp is not None and fill == 0 and width <= (
+        pp.MAX_COLS if values.dtype == jnp.uint8 else pp.MAX_COLS_WIDE
+    ):
+        return pp.expand_walk(values, shift, valid, width)
     pad = width - N
     max_shift = width  # caller guarantees targets < width
-    if values.dtype == jnp.uint8 and width < (1 << 22):
+    # pp is None guard: see the TPU u8-walk miscompile note above
+    if values.dtype == jnp.uint8 and width < (1 << 22) and pp is None:
         w = jnp.where(
             valid, (shift << 9) | (values.astype(jnp.int32) << 1) | 1, 0
         )

@@ -94,11 +94,10 @@ def svb16_decode_batch(stream: jnp.ndarray, n: jnp.ndarray, L: int, zd: bool = T
     shift, cnt = compaction_shifts(keep)
     rk = jnp.arange(2 * L, dtype=jnp.int32)[None, :]
     validc = rk < cnt[:, None]
-    # NOTE: expand the data as i32, not u8 — the u8-packed expand is
-    # correct in isolation but triggers an XLA TPU miscompile when fused
-    # into this decode at B=256 (decoded bytes corrupt mid-row; the same
-    # stream decodes correctly on CPU).
-    grid, _ = monotone_expand(data.astype(jnp.int32), shift, validc, 2 * L)
+    # u8 expand: on TPU this routes to the VMEM-resident Pallas walk
+    # (permute_pallas.py) — the XLA-fused u8 walk miscompiles at B=256
+    # and stays disabled there (see permute.py).
+    grid, _ = monotone_expand(data, shift, validc, 2 * L)
 
     b0 = grid[:, 0::2].astype(jnp.int32)
     b1 = grid[:, 1::2].astype(jnp.int32)

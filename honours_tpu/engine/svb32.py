@@ -115,8 +115,8 @@ def svb32_decode_batch(stream, n, N: int, variant: str = "1234"):
     shift, cnt = compaction_shifts(keep)
     rk = jnp.arange(4 * N, dtype=jnp.int32)[None, :]
     validc = rk < cnt[:, None]
-    # i32 walk on purpose: see the XLA fusion-miscompile note in svb16.py
-    grid, _ = monotone_expand(data.astype(jnp.int32), shift, validc, 4 * N)
+    # u8 expand routes to the Pallas walk on TPU (see svb16.py note)
+    grid, _ = monotone_expand(data, shift, validc, 4 * N)
 
     b = [grid[:, k::4].astype(U32) for k in range(4)]
     v = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)

@@ -132,10 +132,10 @@ def vb1e2_decode_batch(stream, base_off, n, L: int, emax: int = None):
     shift, cnt = compaction_shifts(keep)
     rk = jnp.arange(2 * L, dtype=jnp.int32)[None, :]
     validc = rk < cnt[:, None]
-    # i32 walk: see the XLA fusion-miscompile note in svb16.py
-    grid, _ = monotone_expand(data.astype(jnp.int32), shift, validc, 2 * L)
-    b0 = grid[:, 0::2]
-    b1 = grid[:, 1::2]
+    # u8 expand routes to the Pallas walk on TPU (see svb16.py note)
+    grid, _ = monotone_expand(data, shift, validc, 2 * L)
+    b0 = grid[:, 0::2].astype(jnp.int32)
+    b1 = grid[:, 1::2].astype(jnp.int32)
     vv = jnp.where(ex_mask, b0 | (b1 << 8), b0)
     return jnp.where(valid, vv, 0)
 

@@ -187,10 +187,11 @@ def vbbe21_fill_batch(parsed, data, n, L: int):
     shift_g = jnp.where(nonex, idx - rank, 0)
     shift, cnt = monotone_compact(shift_g, nonex)
     validc = idx < cnt[:, None]
-    # i32 on purpose: see the XLA fusion-miscompile note in svb16.py
+    # u8 expand routes to the Pallas walk on TPU (see svb16.py note)
     data_grid, _ = monotone_expand(
-        data[:, :L].astype(jnp.int32), jnp.where(validc, shift, 0), validc, L
+        data[:, :L].astype(jnp.uint8), jnp.where(validc, shift, 0), validc, L
     )
+    data_grid = data_grid.astype(jnp.int32)
     valid = idx < n[:, None]
     v = jnp.where(ex_mask, ex_grid, data_grid)
     return jnp.where(valid, v, 0)

@@ -130,3 +130,29 @@ def test_compaction_shifts_inverts_compaction():
         np.asarray(back), np.where(keep, vals, 0)
     )
     np.testing.assert_array_equal(np.asarray(covered), keep)
+
+
+def test_pallas_walks_match_xla_interpret():
+    """VMEM-resident walk kernels (the TPU decode hot path) == XLA walks."""
+    import jax.numpy as jnp
+
+    from honours_tpu.engine import permute as P
+    from honours_tpu.engine import permute_pallas as PP
+
+    rng = np.random.default_rng(0)
+    B, N = 8, 300
+    vals = jnp.asarray(rng.integers(0, 256, (B, N)), jnp.uint8)
+    keep = jnp.asarray(rng.random((B, N)) < 0.7)
+    o1, c1 = P.monotone_compact(vals, keep)
+    o2, c2 = PP.compact_walk(vals, keep, interpret=True)
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    s1, _ = P.compaction_shifts(keep)
+    s2, _ = PP.compaction_shifts_walk(keep, interpret=True)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    cnt = np.asarray(c1)
+    validc = jnp.asarray(np.arange(N)[None, :] < cnt[:, None])
+    e1, a1 = P.monotone_expand(o1.astype(jnp.int32), s1, validc, 512)
+    e2, a2 = PP.expand_walk(o1.astype(jnp.int32), s1, validc, 512, interpret=True)
+    assert np.array_equal(np.asarray(e1), np.asarray(e2))
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))

@@ -21,27 +21,29 @@ for line in (
 
 READS = {0: 7329, 1: 155185, 2: 95350}
 
-# (codec, reference method, allowed size overhead vs reference)
+# (codec, reference method, allowed size vs reference).  Every family
+# member BEATS the reference's size on the fixture corpus (measured
+# 0.989-0.999x), so the gate is strict: ours <= reference, no slack.
 CASES = [
-    ("rc_vbe21_zd", "rc_vbe21_zd", 1.002),
-    ("rc_vbbe21_zd", "rc_vbbe21_zd", 1.002),
-    ("rc_vbsbe21_zd", "rc_vbsbe21_zd", 1.002),
-    ("rc_vbsse21_zd", "rc_vbsse21_zd", 1.002),
-    ("rcc_vbe21_zd", "rcc_vbe21_zd", 1.005),
-    ("rcc_vbbe21_zd", "rcc_vbbe21_zd", 1.005),
-    ("rccm_vbe21_zd", "rccm_vbe21_zd", 1.005),
-    ("rccm_vbbe21_zd", "rccm_vbbe21_zd", 1.005),
-    ("rccm_vbsbe21_zd", "rccm_vbsbe21_zd", 1.005),
-    ("rccm_vbsse21_zd", "rccm_vbsse21_zd", 1.005),
-    ("rccdf_vbe21_zd", "rccdf_vbe21_zd", 1.01),
-    ("rccdf_vbbe21_zd", "rccdf_vbbe21_zd", 1.01),
-    ("rccm_svbbe21_zd", "rccm_svbbe21_zd", 1.01),
-    ("dstall_fz_1500", "dstall_fz_1500", 1.01),
-    ("dstall_fz", "dstall_fz", 1.01),
-    ("rccm_vbbe21_submin", "rccm_vbbe21_submin", 1.01),
-    ("rc_zd", "rc_zd", 1.03),
-    ("rccm_svb_zd", "rccm_svb_zd", 1.01),
-    ("rccm_svb12_zd", "rccm_svb12_zd", 1.01),
+    ("rc_vbe21_zd", "rc_vbe21_zd", 1.0),
+    ("rc_vbbe21_zd", "rc_vbbe21_zd", 1.0),
+    ("rc_vbsbe21_zd", "rc_vbsbe21_zd", 1.0),
+    ("rc_vbsse21_zd", "rc_vbsse21_zd", 1.0),
+    ("rcc_vbe21_zd", "rcc_vbe21_zd", 1.0),
+    ("rcc_vbbe21_zd", "rcc_vbbe21_zd", 1.0),
+    ("rccm_vbe21_zd", "rccm_vbe21_zd", 1.0),
+    ("rccm_vbbe21_zd", "rccm_vbbe21_zd", 1.0),
+    ("rccm_vbsbe21_zd", "rccm_vbsbe21_zd", 1.0),
+    ("rccm_vbsse21_zd", "rccm_vbsse21_zd", 1.0),
+    ("rccdf_vbe21_zd", "rccdf_vbe21_zd", 1.0),
+    ("rccdf_vbbe21_zd", "rccdf_vbbe21_zd", 1.0),
+    ("rccm_svbbe21_zd", "rccm_svbbe21_zd", 1.0),
+    ("dstall_fz_1500", "dstall_fz_1500", 1.0),
+    ("dstall_fz", "dstall_fz", 1.0),
+    ("rccm_vbbe21_submin", "rccm_vbbe21_submin", 1.0),
+    ("rc_zd", "rc_zd", 1.0),
+    ("rccm_svb_zd", "rccm_svb_zd", 1.0),
+    ("rccm_svb12_zd", "rccm_svb12_zd", 1.0),
 ]
 
 
