@@ -281,8 +281,14 @@ if __name__ == "__main__":
     signal.alarm(BUDGET_S)
     try:
         main()
-    except BenchTimeout:
-        log("bench timed out (TPU tunnel wedged?) — emitting sentinel")
+    except BaseException as e:  # noqa: BLE001 — the JSON line must emit
+        import traceback
+
+        kind = "timeout: TPU unreachable" if isinstance(
+            e, BenchTimeout
+        ) else f"{type(e).__name__}: {e}"
+        log("bench failed — emitting sentinel:", kind)
+        traceback.print_exc()
         print(
             json.dumps(
                 {
@@ -290,11 +296,11 @@ if __name__ == "__main__":
                     "value": 0.0,
                     "unit": "GB/s",
                     "vs_baseline": 0.0,
-                    "extra": {"error": "timeout: TPU unreachable"},
+                    "extra": {"error": kind[:500]},
                 }
             )
         )
         # the wedged jax call may never unwind past the exception; force exit
         import os
 
-        os._exit(0)
+        os._exit(0 if isinstance(e, BenchTimeout) else 1)

@@ -148,3 +148,91 @@ def synthesize_corpus(n_samples: int, seed: int = 0) -> np.ndarray:
     noise = sliding_window_view(epad, k)[:, ::-1] @ phis
     x = np.rint(out + noise)
     return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+def conditional_entropy_bits(values: np.ndarray) -> float:
+    """Order-1 conditional entropy H(x_t | x_{t-1}) in bits/sample over
+    byte-valued data (the statistic that motivates the order-1 srans2
+    table; viz entropy-tools role)."""
+    v = np.asarray(values).astype(np.int64).ravel()
+    if v.size < 2:
+        return 0.0
+    J = np.zeros((256, 256), dtype=np.float64)
+    np.add.at(J, (v[:-1] & 255, v[1:] & 255), 1)
+    rows = J.sum(axis=1)
+    nz = rows > 0
+    P = J[nz] / rows[nz, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = -np.where(P > 0, P * np.log2(P), 0).sum(axis=1)
+    w = rows[nz] / rows.sum()
+    return float((w * h).sum())
+
+
+def exception_report(signal: np.ndarray) -> dict:
+    """Exception (zd > 255) positions/gaps/values statistics — the
+    analysis behind the vb container designs (viz ex-tools role,
+    press/press.c:2767-2773 framing decisions)."""
+    zd = zigdelta(np.asarray(signal, np.int16))[1:]
+    pos = np.nonzero(zd > 255)[0]
+    gaps = np.diff(pos) if pos.size > 1 else np.zeros(0, np.int64)
+    vals = zd[pos].astype(np.int64) - 256
+    return {
+        "nex": int(pos.size),
+        "ex_rate": float(pos.size / max(zd.size, 1)),
+        "ex_gap_mean": float(gaps.mean()) if gaps.size else 0.0,
+        "ex_gap_max": int(gaps.max()) if gaps.size else 0,
+        "ex_val_bits_mean": float(
+            np.ceil(np.log2(vals + 1)).mean()
+        ) if vals.size else 0.0,
+        "ex_val_max": int(vals.max()) if vals.size else 0,
+    }
+
+
+def run_length_report(signal: np.ndarray, tol: int = 0) -> dict:
+    """Flat-run statistics (|delta| <= tol) — the analysis behind the
+    flats partitioner and stall codecs (viz flats/stall role)."""
+    x = np.asarray(signal, np.int64)
+    if x.size < 2:
+        return {"n_runs": 0, "run_mean": 0.0, "run_max": 0}
+    flat = np.abs(np.diff(x)) <= tol
+    edges = np.diff(flat.astype(np.int8))
+    starts = np.nonzero(edges == 1)[0]
+    ends = np.nonzero(edges == -1)[0]
+    if flat.size and flat[0]:
+        starts = np.concatenate([[-1], starts])
+    if flat.size and flat[-1]:
+        ends = np.concatenate([ends, [flat.size - 1]])
+    lens = ends - starts
+    return {
+        "n_runs": int(lens.size),
+        "run_mean": float(lens.mean()) if lens.size else 0.0,
+        "run_max": int(lens.max()) if lens.size else 0,
+    }
+
+
+def value_histogram(values: np.ndarray, bucket: int = 16) -> dict:
+    """Bucketed value histogram (viz hist/sigstat role)."""
+    v = np.asarray(values).astype(np.int64).ravel()
+    if v.size == 0:
+        return {"bucket": bucket, "lo": 0, "counts": []}
+    lo = int(v.min()) // bucket * bucket
+    idx = (v - lo) // bucket
+    counts = np.bincount(idx)
+    return {"bucket": bucket, "lo": lo, "counts": counts.tolist()}
+
+
+def method_size_table(signals, methods) -> dict:
+    """Compressed-size comparison table over registered codecs (the
+    one-off per-method analyses the viz shell scripts drive)."""
+    from honours_tpu.codecs import base as registry
+
+    raw = sum(int(np.asarray(s).size) * 2 for s in signals)
+    out = {"raw_bytes": raw, "methods": {}}
+    for m in methods:
+        c = registry.get(m)
+        size = sum(len(c.press(np.asarray(s, np.int16))) for s in signals)
+        out["methods"][m] = {
+            "bytes": size,
+            "ratio": round(raw / size, 6) if size else 0.0,
+        }
+    return out

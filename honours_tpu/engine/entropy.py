@@ -65,6 +65,16 @@ def _cum_ext(cum):
     return jnp.concatenate([cum.astype(jnp.int32), jnp.full((1,), M, jnp.int32)])
 
 
+def _u32le_grid_states(x, B, K):
+    """[B, K] states -> [B, 4K] u8 little-endian."""
+    shifts = jnp.array([0, 8, 16, 24], U32).reshape(1, 1, 4)
+    return (
+        ((x.astype(U32)[:, :, None] >> shifts) & jnp.uint32(0xFF))
+        .astype(jnp.uint8)
+        .reshape(B, 4 * K)
+    )
+
+
 def _lut256(d, table):
     """table[d] for d [B, K] in [0,256) and table [256, C] f32-exact values.
 
@@ -126,6 +136,33 @@ def rans_encode_batch(data, dlen, freqs, cum, K: int = K_SHARED):
     nsteps = -(-N // K)
     Np = nsteps * K
     d = jnp.pad(data.astype(jnp.int32), ((0, 0), (0, Np - N)))
+
+    if jax.default_backend() == "tpu" and B % 8 == 0:
+        # Pallas route: precompute f/cum per element with the lookup
+        # kernel (single-row degenerate "clustered" table), then run the
+        # state walk in one Mosaic kernel instead of an XLA while loop.
+        from honours_tpu.engine.rans_encode_pallas import (
+            rans_encode_core_pallas,
+        )
+        from honours_tpu.engine.rans_o1_pallas import o1_lookup_pallas
+
+        u = (freqs.astype(jnp.int32) - 1) + cum.astype(jnp.int32) * 4096
+        planes = jnp.concatenate(
+            [u >> 16, (u >> 8) & 255, u & 255]
+        ).reshape(1, 768).astype(jnp.bfloat16)
+        cmap0 = jnp.zeros((257,), jnp.int32)
+        f_all, c_all = o1_lookup_pallas(d, d, cmap0, planes)
+        pos = jnp.arange(Np, dtype=jnp.int32)[None, :]
+        fc = jnp.where(pos < dlen[:, None], f_all + c_all * 8192, 0)
+        plane, states_i = rans_encode_core_pallas(fc, nsteps, K)
+        body_bytes, body_len = monotone_compact(
+            (plane & 255).astype(jnp.uint8), (plane >> 8) == 1
+        )
+        stream = jnp.concatenate(
+            [_u32le_grid_states(states_i, B, K), body_bytes], axis=1
+        )
+        return stream, 4 * K + body_len
+
     cume = _cum_ext(cum)
     lanes = jnp.arange(K, dtype=jnp.int32)[None, :]
 

@@ -149,6 +149,25 @@ def rans_o1_encode_batch(data, dlen, tabs, K: int = K_SHARED):
         for a in _o1_fc(g3.reshape(B, -1), ctx3.reshape(B, -1), tabs)
     ]
 
+    if jax.default_backend() == "tpu" and B % 8 == 0:
+        # Pallas state walk (one Mosaic kernel, no XLA while loop)
+        from honours_tpu.engine.rans_encode_pallas import (
+            rans_encode_core_pallas,
+        )
+
+        fc3 = jnp.where(act3, f3 + c3 * 8192, 0)
+        fc = jnp.transpose(fc3, (0, 2, 1)).reshape(B, Smax * K)
+        plane, states_i = rans_encode_core_pallas(fc, Smax, K)
+        body_bytes, body_len = monotone_compact(
+            (plane & 255).astype(jnp.uint8), (plane >> 8) == 1
+        )
+        segs = [
+            (u32le_bytes(S_b), jnp.full((B,), 4, jnp.int32)),
+            (_u32le_grid(states_i), jnp.full((B,), 4 * K, jnp.int32)),
+            (body_bytes, body_len),
+        ]
+        return rowwise_concat(segs, 4 + 4 * K + body_bytes.shape[1])
+
     def body(i, carry):
         states, groups, flags = carry
         t = Smax - 1 - i

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from honours_tpu.kernels.rans import CTX0, M, PROB_BITS, RANS_L
 
 R = 8    # reads per program (int32 sublane tile)
-W = 512  # cached window bytes per read (as rans_pallas.py)
+W = 384  # cached window bytes per read (as rans_pallas.py)
 RB = 8    # lookup block rows
 CB = 256  # lookup block cols (RB*CB elements per program)
 
@@ -117,17 +117,23 @@ def _decode_kernel(body_ref, states_ref, dlen_ref, sb_ref, cmap_ref, tab_ref,
             oh, tab_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R, K, 768]
+        # rows planes recombine in f32 (values < 2^24, f32-exact; f32
+        # VPU multiply/add is single-pass where i32 multiply is not)
         w = (
-            rows[:, :, 0:256].astype(jnp.int32) * 65536
-            + rows[:, :, 256:512].astype(jnp.int32) * 256
-            + rows[:, :, 512:768].astype(jnp.int32)
-        )  # (cum_hi - 1) + (f - 1) * 4096
-        cumhi1 = w & (M - 1)
-        fr = (w >> PROB_BITS) + 1
-        ge = (slot[:, :, None] > cumhi1).astype(jnp.int32)
-        sym = jnp.sum(ge, axis=-1)
-        c = jnp.sum(ge * fr, axis=-1)
-        f = jnp.sum((sym[:, :, None] == i256) * fr, axis=-1)
+            rows[:, :, 0:256] * 65536.0
+            + rows[:, :, 256:512] * 256.0
+            + rows[:, :, 512:768]
+        )  # (cum_hi - 1) + (f - 1) * 4096, f32
+        fr = jnp.floor(w * (1.0 / M))  # f - 1 (exact: w = fr*4096 + low12)
+        cumhi1 = w - fr * float(M)
+        slot_f = slot.astype(jnp.float32)
+        ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
+        sym = jnp.sum(ge, axis=-1).astype(jnp.int32)
+        c = jnp.sum(ge * (fr + 1.0), axis=-1).astype(jnp.int32)
+        f = jnp.sum(
+            (sym[:, :, None] == i256).astype(jnp.float32) * (fr + 1.0),
+            axis=-1,
+        ).astype(jnp.int32)
         newx = f * (x >> PROB_BITS) + slot - c
         x = jnp.where(active, newx, x)
 
@@ -146,11 +152,14 @@ def _decode_kernel(body_ref, states_ref, dlen_ref, sb_ref, cmap_ref, tab_ref,
         idx_a = rel + rank1
         idx_b = rel + cnt1 + rank2
         wcols = jax.lax.broadcasted_iota(jnp.int32, (R, Kc, W), 2)
-        oh_a = (idx_a[:, :, None] == wcols).astype(jnp.int32)
-        oh_b = (idx_b[:, :, None] == wcols).astype(jnp.int32)
-        winb = win[:, None, :]
-        b_a = jnp.sum(oh_a * winb, axis=-1)
-        b_b = jnp.sum(oh_b * winb, axis=-1)
+        # one fused f32 reduce fetches both bytes (see rans_pallas.py)
+        oh = (idx_a[:, :, None] == wcols).astype(jnp.float32) + 256.0 * (
+            idx_b[:, :, None] == wcols
+        ).astype(jnp.float32)
+        winf = win[:, None, :].astype(jnp.float32)
+        v = jnp.sum(oh * winf, axis=-1).astype(jnp.int32)
+        b_a = v & 0xFF
+        b_b = (v >> 8) & 0xFF
         x = jnp.where(need1, (x << 8) | b_a, x)
         x = jnp.where(need2, (x << 8) | b_b, x)
         rel = rel + cnt1 + cnt2

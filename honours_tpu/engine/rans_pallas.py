@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from honours_tpu.kernels.rans import M, PROB_BITS, RANS_L, K_SHARED
 
 R = 8   # reads per program (int32 sublane tile)
-W = 512  # cached window bytes per read (>= 4 steps * 2K + 128 alignment)
+W = 384  # cached window bytes per read (>= 4 steps * 2K + 128 alignment)
 
 
 def _decode_kernel(body_ref, states_ref, dlen_ref, tabs_ref, out_ref, ptr_ref,
@@ -42,8 +42,10 @@ def _decode_kernel(body_ref, states_ref, dlen_ref, tabs_ref, out_ref, ptr_ref,
         jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 1)
     ).astype(jnp.float32)  # tri[j, k] = j < k
-    cum_hi = tabs_ref[0:1, :][:, None, :]   # cum[s+1], [1, 1, 256]
-    freqv = tabs_ref[1:2, :][:, None, :]    # freq[s]
+    # f32 table rows: values <= 4096 are f32-exact, and f32 VPU
+    # multiply/add is single-pass where i32 multiply is not
+    cum_hi = tabs_ref[0:1, :].astype(jnp.float32)[:, None, :]  # cum[s+1]
+    freqv = tabs_ref[1:2, :].astype(jnp.float32)[:, None, :]   # freq[s]
     dlen = dlen_ref[:, 0:1]
 
     for r in range(R):
@@ -53,14 +55,15 @@ def _decode_kernel(body_ref, states_ref, dlen_ref, tabs_ref, out_ref, ptr_ref,
         active = (t * Kc + lanes) < dlen
         x = states
         slot = x & (M - 1)
-        ge = (slot[:, :, None] >= cum_hi).astype(jnp.int32)  # [R,K,256]
-        sym = jnp.sum(ge, axis=-1)
-        c = jnp.sum(ge * freqv, axis=-1)  # cum[sym] = sum of freqs below
+        slot_f = slot.astype(jnp.float32)
+        ge = (slot_f[:, :, None] >= cum_hi).astype(jnp.float32)  # [R,K,256]
+        sym = jnp.sum(ge, axis=-1).astype(jnp.int32)
+        c = jnp.sum(ge * freqv, axis=-1).astype(jnp.int32)
         eq = (
             sym[:, :, None]
             == jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
-        ).astype(jnp.int32)
-        f = jnp.sum(eq * freqv, axis=-1)
+        ).astype(jnp.float32)
+        f = jnp.sum(eq * freqv, axis=-1).astype(jnp.int32)
         newx = f * (x >> PROB_BITS) + slot - c
         x = jnp.where(active, newx, x)
 
@@ -80,11 +83,16 @@ def _decode_kernel(body_ref, states_ref, dlen_ref, tabs_ref, out_ref, ptr_ref,
         idx_a = rel + rank1                 # first consumed byte per lane
         idx_b = rel + cnt1 + rank2          # second (round-2) byte
         wcols = jax.lax.broadcasted_iota(jnp.int32, (R, Kc, W), 2)
-        oh_a = (idx_a[:, :, None] == wcols).astype(jnp.int32)
-        oh_b = (idx_b[:, :, None] == wcols).astype(jnp.int32)
-        winb = win[:, None, :]
-        b_a = jnp.sum(oh_a * winb, axis=-1)
-        b_b = jnp.sum(oh_b * winb, axis=-1)
+        # one fused f32 reduce fetches both bytes: v = b_a + 256*b_b
+        # (<= 65535, f32-exact); garbage b_b for !need2 lanes stays in
+        # the high byte and never corrupts b_a
+        oh = (idx_a[:, :, None] == wcols).astype(jnp.float32) + 256.0 * (
+            idx_b[:, :, None] == wcols
+        ).astype(jnp.float32)
+        winf = win[:, None, :].astype(jnp.float32)
+        v = jnp.sum(oh * winf, axis=-1).astype(jnp.int32)
+        b_a = v & 0xFF
+        b_b = (v >> 8) & 0xFF
         x = jnp.where(need1, (x << 8) | b_a, x)
         x = jnp.where(need2, (x << 8) | b_b, x)
         rel = rel + cnt1 + cnt2

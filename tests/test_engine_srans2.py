@@ -191,10 +191,10 @@ def test_o1_decode_kernel_interpret(tabs):
     K = K_SHARED
     Smax = -(-N // K)
     tab = canned_o1_freqs()
-    datas = [
-        rng.integers(0, 256, n).astype(np.uint8)
-        for n in (256, 250, 31, 1, 0, 129, 64, 200)
-    ]
+    lens = [256, 250, 31, 1, 0, 129, 64, 200]
+    while len(lens) < R:
+        lens.append(int(rng.integers(0, N + 1)))
+    datas = [rng.integers(0, 256, n).astype(np.uint8) for n in lens]
     assert len(datas) == R
     hosts = [rans_encode_o1(d, tab, K=K) for d in datas]
     w = max(len(h) for h in hosts)
@@ -217,3 +217,55 @@ def test_o1_decode_kernel_interpret(tabs):
     out = np.asarray(_ungrid(grid, S_b, jnp.asarray(dl), K, Smax, N))
     for i, d in enumerate(datas):
         assert np.array_equal(out[i, : d.size], d), i
+
+
+def test_encode_core_kernel_interpret(tabs):
+    """Pallas encode state walk == the XLA loop (v3 path, interpret)."""
+    import jax
+    import jax.numpy as jnp
+
+    from honours_tpu.engine.entropy_o1 import _lane_grid, _o1_fc_take
+    from honours_tpu.engine.rans_encode_pallas import rans_encode_core_pallas
+    from honours_tpu.kernels.rans import rans_encode_o1
+
+    rng = np.random.default_rng(12)
+    K = K_SHARED
+    N = 256
+    datas = [rng.integers(0, 256, n).astype(np.uint8) for n in
+             (256, 200, 31, 1, 0, 77, 129, 64)]
+    B = len(datas)
+    buf = np.zeros((B, N), np.uint8)
+    dl = np.zeros(B, np.int32)
+    for i, d in enumerate(datas):
+        buf[i, : d.size] = d
+        dl[i] = d.size
+    Smax = -(-N // K)
+    g3, ctx3, act3, S_b = _lane_grid(
+        jnp.asarray(buf), jnp.asarray(dl), K, Smax
+    )
+    f, c = _o1_fc_take(g3.reshape(B, -1), ctx3.reshape(B, -1), tabs)
+    f3 = f.reshape(B, K, Smax)
+    c3 = c.reshape(B, K, Smax)
+    fc3 = jnp.where(act3, f3 + c3 * 8192, 0)
+    fc = jnp.transpose(fc3, (0, 2, 1)).reshape(B, Smax * K)
+    plane, states = rans_encode_core_pallas(fc, Smax, K, interpret=True)
+    # assemble the v3 stream from the kernel outputs and compare to host
+    from honours_tpu.engine.bits import rowwise_concat, u32le_bytes
+    from honours_tpu.engine.entropy_o1 import _u32le_grid
+    from honours_tpu.engine.permute import monotone_compact
+
+    body, blen = monotone_compact(
+        (plane & 255).astype(jnp.uint8), (plane >> 8) == 1
+    )
+    segs = [
+        (u32le_bytes(S_b), jnp.full((B,), 4, jnp.int32)),
+        (_u32le_grid(states), jnp.full((B,), 4 * K, jnp.int32)),
+        (body, blen),
+    ]
+    stream, slen = rowwise_concat(segs, 4 + 4 * K + body.shape[1])
+    stream, slen = np.asarray(stream), np.asarray(slen)
+    tab = canned_o1_freqs()
+    for i, d in enumerate(datas):
+        assert stream[i, : slen[i]].tobytes() == rans_encode_o1(
+            d, tab, K=K
+        ), i
