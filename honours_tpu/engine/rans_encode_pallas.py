@@ -53,8 +53,7 @@ def _divmod_f32(x, f):
 
 
 def _encode_kernel(fc_ref, plane_ref, states_ref, *, ngroups: int, K: int):
-    def step(t, states):
-        fc = fc_ref[:, pl.ds(t * K, K)]
+    def step(fc, states):
         active = fc > 0
         f = fc & 8191
         c = fc >> 13
@@ -79,11 +78,14 @@ def _encode_kernel(fc_ref, plane_ref, states_ref, *, ngroups: int, K: int):
         return states, plane
 
     def group(g_rev, states):
-        g = ngroups - 1 - g_rev  # walk groups (2 steps each) backwards
-        states, p1 = step(2 * g + 1, states)
-        states, p0 = step(2 * g, states)
-        plane_ref[:, pl.ds(pl.multiple_of(g * 4 * K, 128), 4 * K)] = (
-            jnp.concatenate([p0, p1], axis=1)
+        # 4 steps per group: 4*K = 128 keeps dynamic loads/stores aligned
+        g = ngroups - 1 - g_rev  # walk groups backwards (encode order)
+        chunk = fc_ref[:, pl.ds(pl.multiple_of(g * 4 * K, 128), 4 * K)]
+        planes = [None] * 4
+        for j in (3, 2, 1, 0):
+            states, planes[j] = step(chunk[:, j * K : (j + 1) * K], states)
+        plane_ref[:, pl.ds(pl.multiple_of(g * 8 * K, 256), 8 * K)] = (
+            jnp.concatenate(planes, axis=1)
         )
         return states
 
@@ -98,10 +100,10 @@ def rans_encode_core_pallas(fc, Smax: int, K: int, interpret: bool = False):
     states [B, K] i32).  Requires 4K % 128 == 0 (K=32)."""
     B = fc.shape[0]
     assert B % R == 0 and (4 * K) % 128 == 0, (B, K)
-    S2 = -(-Smax // 2) * 2
+    S2 = -(-Smax // 4) * 4
     fcp = jnp.pad(fc, ((0, 0), (0, (S2 - Smax) * K)))
     plane, states = pl.pallas_call(
-        functools.partial(_encode_kernel, ngroups=S2 // 2, K=K),
+        functools.partial(_encode_kernel, ngroups=S2 // 4, K=K),
         out_shape=(
             jax.ShapeDtypeStruct((B, S2 * 2 * K), jnp.int32),
             jax.ShapeDtypeStruct((B, K), jnp.int32),
