@@ -37,6 +37,7 @@ ENGINE_CODECS = {
     "vbsse21_zd": ("vb_zd:vbsse21", "vb_zd:vbsse21"),
     "svb_zd": ("svb32_zd:1234", "svb32_zd:1234"),
     "svb0124_zd": ("svb32_zd:0124", "svb32_zd:0124"),
+    "hasgam_vbsse21_zdq": ("exzd", "exzd"),
 }
 
 
@@ -94,6 +95,10 @@ def _press_bucket(sig, n, kind: str):
         from honours_tpu.engine.vb_batch import press_svb_zd_batch
 
         st, sl = press_svb_zd_batch(sigj, nj, kind.split(":")[1])
+    elif kind == "exzd":
+        from honours_tpu.engine.exzd import press_exzd_batch
+
+        st, sl = press_exzd_batch(sigj, nj, _emax(L))
     else:
         raise KeyError(kind)
     return np.asarray(st), np.asarray(sl)
@@ -127,6 +132,10 @@ def _depress_bucket(buf, n, kind: str, L: int):
         from honours_tpu.engine.vb_batch import depress_svb_zd_batch
 
         out = depress_svb_zd_batch(bufj, nj, L, kind.split(":")[1])
+    elif kind == "exzd":
+        from honours_tpu.engine.exzd import depress_exzd_batch
+
+        out = depress_exzd_batch(bufj, nj, L, _emax(L))
     else:
         raise KeyError(kind)
     return np.asarray(out)
@@ -136,7 +145,14 @@ def _nex_overflowed(blob: bytes, codec_name: str, emax: int) -> bool:
     """vb-exception-family streams carry the exact exception count at
     bytes [2:6] (press/press.c:2780 framing: [zd0:u16][nex:u32]...),
     valid even when the engine's capped buffers overflowed — use it as
-    the fallback trigger.  svb streams have no exception cap."""
+    the fallback trigger.  ex-zd carries it at byte 12 instead
+    ([ver:1][nin:u64][q:1][zd0:u16][nex:u32], press/ex_zd.c:403-457).
+    svb streams have no exception cap."""
+    if codec_name == "hasgam_vbsse21_zdq":
+        if len(blob) < 16:
+            return False
+        (nex,) = struct.unpack_from("<I", blob, 12)
+        return nex > emax
     if len(blob) < 6 or not any(
         k in codec_name for k in ("vb1e2", "vbe21", "vbbe21", "vbsbe21", "vbsse21")
     ):
