@@ -207,6 +207,24 @@ def main():
         f"lossless={srans2_ok}, host-parity={parity}"
     )
 
+    # ---- held-out ratio protocol: o1 table trained on read 0 ONLY,
+    # scored on the batch (whose unique chunks come from reads 1-2 —
+    # read 0 is too short to contribute a 64Ki chunk), so every scored
+    # byte is unseen at training time.
+    log("held-out protocol (train read 0, score reads 1-2)...")
+    from honours_tpu.engine.entropy_o1 import make_o1_tables
+    from honours_tpu.tables.o1 import heldout_o1_freqs
+
+    ho_tabs = make_o1_tables(heldout_o1_freqs())
+    s_ho, l_ho = press_srans2_batch(sig, n, ho_tabs, EMAX)
+    d_ho = depress_srans2_batch(s_ho, n, ho_tabs, L, emax=EMAX)
+    ho_ok = bool(jnp.all(d_ho == sig))
+    heldout_ratio = unique_bytes / int(jnp.sum(l_ho[:n_unique]))
+    log(
+        f"held-out: srans2 {heldout_ratio:.4f} (in-sample {srans2_ratio:.4f},"
+        f" vbz on same data {vbz_ratio:.4f}), lossless={ho_ok}"
+    )
+
     # ---- synthetic transfer corpus (>=100 MB the canned tables never saw)
     log("synthetic transfer corpus...")
     from honours_tpu.analysis import synthesize_corpus
@@ -267,6 +285,10 @@ def main():
                     "batch": [B, L],
                     "corpus_unique_bytes": unique_bytes,
                     "ratio_basis": "unique fixture chunks only",
+                    "heldout_ratio_srans2": round(heldout_ratio, 4),
+                    "heldout_lossless": ho_ok,
+                    "heldout_protocol": "o1 table trained on read 0 only; "
+                    "scored chunks all come from reads 1-2",
                     "synth_raw_bytes": synth_raw,
                     "synth_srans2_ratio": round(synth_raw / synth_comp, 4),
                     "synth_vbz_ratio": round(synth_raw / synth_vbz, 4),

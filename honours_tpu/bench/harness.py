@@ -117,6 +117,7 @@ DEFAULT_METHODS = [
     "rccm_svb_zd",
     "rccm_svb12_zd",
     "srans_vbbe21_zd",
+    "srans2_vbbe21_zd",
     "hasgam_vbsse21_zdq",
     "zlib_hasgam_vbsse21_zdq",
     "zstd_hasgam_vbsse21_zdq",
@@ -164,7 +165,12 @@ def run_method(codec, signals, per_read=False, out=None):
 
 def run_method_tpu(name: str, signals, out=None):
     """One TSV row for an engine-backed method through the batched path
-    (engine/runner.py: bucket -> jitted engine -> ordered streams)."""
+    (engine/runner.py: bucket -> jitted engine -> ordered streams).
+
+    NOTE: press_time / depress_time here are END-TO-END wall times of the
+    user path — host bucketing, per-row tobytes, and any overflow
+    fallback re-encodes are included.  They are NOT chip-kernel
+    throughput numbers; bench.py reports those separately."""
     from honours_tpu.engine import runner
 
     out = out or sys.stdout

@@ -144,16 +144,17 @@ def rans_encode_batch(data, dlen, freqs, cum, K: int = K_SHARED):
         from honours_tpu.engine.rans_encode_pallas import (
             rans_encode_core_pallas,
         )
-        from honours_tpu.engine.rans_o1_pallas import o1_lookup_pallas
+        from honours_tpu.engine.rans_o1_pallas import o1_fc_gather_pallas
 
-        u = (freqs.astype(jnp.int32) - 1) + cum.astype(jnp.int32) * 4096
-        planes = jnp.concatenate(
-            [u >> 16, (u >> 8) & 255, u & 255]
-        ).reshape(1, 768).astype(jnp.bfloat16)
-        cmap0 = jnp.zeros((257,), jnp.int32)
-        f_all, c_all = o1_lookup_pallas(d, d, cmap0, planes)
+        # degenerate single-cluster table: cmap all-zero, fc rows 0..1
+        fc_row = freqs.astype(jnp.int32) + cum.astype(jnp.int32) * 8192
+        fc_tab = jnp.zeros((128, 128), jnp.int32).at[:2, :].set(
+            fc_row.reshape(2, 128)
+        )
+        cmap0 = jnp.zeros((3, 128), jnp.int32)
+        fc_all = o1_fc_gather_pallas(d, d, cmap0, fc_tab)
         pos = jnp.arange(Np, dtype=jnp.int32)[None, :]
-        fc = jnp.where(pos < dlen[:, None], f_all + c_all * 8192, 0)
+        fc = jnp.where(pos < dlen[:, None], fc_all, 0)
         plane, states_i = rans_encode_core_pallas(fc, nsteps, K)
         body_bytes, body_len = monotone_compact(
             (plane & 255).astype(jnp.uint8), (plane >> 8) == 1
@@ -262,13 +263,16 @@ def rans_decode_batch(stream, base_off, dlen, freqs, cum, N: int,
     cume = _cum_ext(cum)
 
     if jax.default_backend() == "tpu":
-        from honours_tpu.engine.rans_pallas import R, rans_decode_pallas
+        from honours_tpu.engine.rans_o1_pallas import (
+            R,
+            rans_decode_shared_pallas,
+        )
 
         if B % R == 0:
             # total consumption is <= 2 bytes/symbol; keep the VMEM block
             # within the 16 MB scoped limit regardless of stream caps
             cap = min(Mb, 2 * N + 256)
-            return rans_decode_pallas(
+            return rans_decode_shared_pallas(
                 body[:, :cap], states.astype(jnp.int32), dlen, cume, N, K
             )
 

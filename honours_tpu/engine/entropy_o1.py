@@ -44,25 +44,24 @@ from honours_tpu.kernels.rans import CTX0, M, PROB_BITS, RANS_L, K_SHARED
 U32 = jnp.uint32
 
 
-def _byte_planes(u: np.ndarray) -> np.ndarray:
-    """[r, 256] ints < 2^24 -> [r, 768] bf16-exact byte planes."""
-    return np.concatenate([u >> 16, (u >> 8) & 255, u & 255], axis=1)
-
-
 def make_o1_tables(freq_tab: np.ndarray) -> dict:
     """Device tables for a [257, 256] order-1 frequency table.
 
     The canned table has clustered structure (tables/o1.py: only
     R_CLUSTERS distinct rows); np.unique recovers it here with no
-    metadata, so the engine's one-hot row-select matmuls contract over
-    r ~ 64 instead of 257.  Returns dict with:
+    metadata, so the engine works against r ~ 64 cluster rows instead
+    of 257 contexts.  Returns dict with:
       flat_f / flat_c: [257*256] i32 flattened freq / cum-low (take route)
       cum_ext: [257, 257] i32 per-context CDF with the M sentinel (XLA
                fallback decode)
       cmap: [257] i32 context -> cluster row
-      enc_planes: [r, 768] bf16 byte planes of (f-1) + cum_low * 4096
-      dec_planes: [r, 768] bf16 byte planes of (cum_hi-1) + (f-1) * 4096
-                  (cum_hi[s] = cum[s+1]; all three quantities are 12-bit)
+      cmap_pad: [3, 128] i32 cmap as single-vreg gather chunks
+      fc_tab: [128, 128] i32 flattened [r, 256] encode values
+              f + cum_low * 8192 (gather-route encode lookup)
+      coarse: [3, 128] i32 quarter boundaries cum[cl][64j], j = 1..3
+      planes4: [4r, 128] bf16 6-bit planes of cum_hi-1 per (cluster,
+               quarter): cols 0:64 = (v >> 6), cols 64:128 = (v & 63)
+               (bf16-exact; one-hot matmul materializes one quarter)
     """
     ft = np.asarray(freq_tab, dtype=np.int64)
     assert ft.shape == (257, 256) and (ft.sum(axis=1) == M).all()
@@ -71,17 +70,31 @@ def make_o1_tables(freq_tab: np.ndarray) -> dict:
     )
     c_lo = cum[:, :256]
     urows, cmap = np.unique(ft, axis=0, return_inverse=True)
+    r = urows.shape[0]
+    assert 2 * r <= 16384, r  # fc_tab must fit the 128-chunk gather scan
     ucum = np.cumsum(urows, axis=1)  # cum_hi rows: ucum[:, s] = cum[s+1]
     uclo = ucum - urows
-    enc_planes = _byte_planes((urows - 1) + uclo * 4096)
-    dec_planes = _byte_planes((ucum - 1) + (urows - 1) * 4096)
+    cmap_pad = np.zeros((3, 128), np.int64)
+    cmap_pad.reshape(-1)[:257] = cmap.reshape(-1)
+    fc_tab = np.zeros((128, 128), np.int64)
+    fc_tab.reshape(-1)[: r * 256] = (urows + uclo * 8192).reshape(-1)
+    coarse = np.zeros((3, 128), np.int64)
+    for j in (1, 2, 3):
+        coarse[j - 1, :r] = ucum[:, 64 * j - 1]
+    v = ucum - 1  # cum_hi - 1, 12-bit
+    planes4 = np.zeros((4 * r, 128), np.int64)
+    for q in range(4):
+        planes4[q::4, :64] = v[:, 64 * q : 64 * q + 64] >> 6
+        planes4[q::4, 64:] = v[:, 64 * q : 64 * q + 64] & 63
     return dict(
         flat_f=jnp.asarray(ft.reshape(-1), jnp.int32),
         flat_c=jnp.asarray(c_lo.reshape(-1), jnp.int32),
         cum_ext=jnp.asarray(cum, jnp.int32),
         cmap=jnp.asarray(cmap.reshape(-1), jnp.int32),
-        enc_planes=jnp.asarray(enc_planes, jnp.bfloat16),
-        dec_planes=jnp.asarray(dec_planes, jnp.bfloat16),
+        cmap_pad=jnp.asarray(cmap_pad, jnp.int32),
+        fc_tab=jnp.asarray(fc_tab, jnp.int32),
+        coarse=jnp.asarray(coarse, jnp.int32),
+        planes4=jnp.asarray(planes4, jnp.bfloat16),
     )
 
 
@@ -93,9 +106,10 @@ def _o1_fc_take(sym, ctx, tabs):
 
 def _o1_fc(sym, ctx, tabs):
     if jax.default_backend() == "tpu":
-        from honours_tpu.engine.rans_o1_pallas import o1_lookup_pallas
+        from honours_tpu.engine.rans_o1_pallas import o1_fc_gather_pallas
 
-        return o1_lookup_pallas(sym, ctx, tabs["cmap"], tabs["enc_planes"])
+        fc = o1_fc_gather_pallas(sym, ctx, tabs["cmap_pad"], tabs["fc_tab"])
+        return fc & 8191, fc >> 13
     return _o1_fc_take(sym, ctx, tabs)
 
 
@@ -237,13 +251,19 @@ def rans_o1_decode_batch(stream, base_off, dlen, tabs, N: int,
     body = rowwise_shift_left(stream, base_off + 4 + 4 * K, Mb)
 
     if jax.default_backend() == "tpu":
+        import os
+
         from honours_tpu.engine.rans_o1_pallas import R, rans_o1_decode_pallas
 
-        if B % R == 0:
+        rows = int(os.environ.get("HTPU_DEC_ROWS", R))
+        if B % rows == 0:
+            # total consumption <= 2 bytes/symbol; the word-packed body
+            # block stays ~R*(2N/4)*4 bytes of VMEM (1 MB at N = 64Ki)
             cap = min(Mb, 2 * N + 256)
             grid = rans_o1_decode_pallas(
                 body[:, :cap], states.astype(jnp.int32), dlen,
-                S_b, tabs["cmap"], tabs["dec_planes"], Smax, K,
+                S_b, tabs["cmap_pad"], tabs["coarse"], tabs["planes4"],
+                Smax, K, rows=rows,
             )
             return _ungrid(grid, S_b, dlen, K, Smax, N)
 

@@ -1,22 +1,30 @@
 """Pallas TPU kernels for the order-1 rANS engine (wire format v3).
 
-Two kernels:
+Round-3 redesign around Mosaic's hardware `tpu.dynamic_gather` (exposed
+as matching-shape jnp.take_along_axis on a single-vreg source, <=128
+lanes — measured ~1 vreg-op per [8,128] gather on v5e):
 
-o1_lookup_pallas — elementwise (f, cum) lookup against the canned
-  order-1 table for the ENCODE pre-pass.  A one-hot row-select matmul
-  against the r~64 distinct cluster rows (tables/o1.py guarantees the
-  clustered structure); the [E, 768] row matrix lives only in VMEM, so
-  HBM traffic is 16 B/element instead of the ~3 KB/element a
-  materialized XLA one-hot matmul would pay.  Tables are bf16-exact
-  byte planes of the packed 24-bit value (f-1) + cum*4096; a 0/1
-  one-hot times a <=255 plane with f32 accumulation is exact.
+o1_fc_gather_pallas — ENCODE (f, cum) lookup.  The packed 25-bit
+  fc = f + cum*8192 value lives in a [64 clusters x 256 syms] i32 table;
+  the kernel scans its 128 single-vreg chunks with predicated gathers
+  (~0.4 vreg-ops/element) instead of the round-2 one-hot row-select
+  matmul (~49K MACs/element, 38.5 ms on the bench batch).
 
-rans_o1_decode_pallas — the o1 extension of engine/rans_pallas.py:
-  same shared-stream refill discipline and window scheme, plus a
-  per-lane context carry (ctx = previous decoded symbol in the lane)
-  and an in-kernel one-hot row-select (3-D dot_general, verified
-  supported by Mosaic) that materializes each lane's CDF row for the
-  slot -> symbol compare-reduce.
+rans_o1_decode_pallas — the decode walk.  Per step:
+  - the context CLUSTER is carried directly (cl = cmap[sym] via a
+    2-chunk gather), replacing round 2's 257-wide compare-select,
+  - the symbol search splits each cluster's 256-symbol CDF into 4
+    quarters: 3 gathered coarse boundaries pick the quarter, ONE
+    [RK, 4r] x [4r, 128] bf16 one-hot matmul materializes only that
+    quarter's 64 cum_hi values (6-bit planes, bf16-exact), and the
+    ge/rank/min/max run 64-wide instead of 256-wide,
+  - f and c are DERIVED from the materialized cum row (c = max covered
+    cum_hi, f = next cum_hi - c) so no f-planes are stored or fetched,
+  - the shared-stream refill fetches both candidate bytes with a
+    2-chunk word gather from a register window of the 4-bytes-per-i32
+    packed body (4x less VMEM than round 2's byte-expanded body);
+    windows reload every 8 steps at 512-byte alignment,
+  - output symbols store once per 16-step supergroup (512-lane aligned).
 
 Byte/stream semantics match kernels.rans.rans_{en,de}code_o1.
 """
@@ -30,113 +38,154 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from honours_tpu.kernels.rans import CTX0, M, PROB_BITS, RANS_L
+from honours_tpu.kernels.rans import M, PROB_BITS, RANS_L
 
-R = 8    # reads per program (int32 sublane tile)
-W = 384  # cached window bytes per read (as rans_pallas.py)
+R = 8     # reads per program (int32 sublane tile)
+WW = 256  # window WORDS per read (1 KiB: 511B align slack + 8 steps * 2K)
 RB = 8    # lookup block rows
-CB = 256  # lookup block cols (RB*CB elements per program)
+CB = 512  # lookup block cols
 
 
-def _lookup_kernel(sym_ref, ctx_ref, cmap_ref, tab_ref, fc_ref):
-    r = tab_ref.shape[0]
-    ctx = ctx_ref[:, :]  # [RB, CB]
-    i257 = jax.lax.broadcasted_iota(jnp.int32, (RB, CB, 257), 2)
-    cm = cmap_ref[0:1, :][:, None, :]  # [1, 1, 257]
-    cctx = jnp.sum(jnp.where(ctx[:, :, None] == i257, cm, 0), axis=2)
-    ir = jax.lax.broadcasted_iota(jnp.int32, (RB, CB, r), 2)
-    oh = (cctx[:, :, None] == ir).astype(jnp.bfloat16)
-    rows = jax.lax.dot_general(
-        oh, tab_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [RB, CB, 768]
-    sym = sym_ref[:, :]
-    i256 = jax.lax.broadcasted_iota(jnp.int32, (RB, CB, 256), 2)
-    ohs = (sym[:, :, None] == i256).astype(jnp.float32)
-    p0 = jnp.sum(rows[:, :, 0:256] * ohs, axis=2).astype(jnp.int32)
-    p1 = jnp.sum(rows[:, :, 256:512] * ohs, axis=2).astype(jnp.int32)
-    p2 = jnp.sum(rows[:, :, 512:768] * ohs, axis=2).astype(jnp.int32)
-    u = p0 * 65536 + p1 * 256 + p2  # (f-1) + cum * 4096
-    fc_ref[:, :] = (u & (M - 1)) + 1 + ((u >> PROB_BITS) << 13)
+def _taa(src_vreg, idx):
+    """Single-vreg gather: src [.,128], idx [.,128] -> src[i, idx[i,j]]."""
+    return jnp.take_along_axis(src_vreg, jnp.clip(idx, 0, 127), axis=1)
+
+
+def _gather_chunks(table_2d, idx, n_chunks: int):
+    """table_2d [n_chunks, 128] i32, idx [8, 128] in [0, 128*n_chunks) ->
+    out [8, 128] = table.flat[idx], via predicated single-vreg gathers."""
+    hi = idx >> 7
+    lo = idx & 127
+    out = jnp.zeros(idx.shape, jnp.int32)
+    for j in range(n_chunks):
+        chunk = jnp.broadcast_to(table_2d[j : j + 1, :], idx.shape)
+        out = jnp.where(hi == j, _taa(chunk, lo), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encode lookup
+# ---------------------------------------------------------------------------
+
+
+def _fc_kernel(sym_ref, ctx_ref, cmap_ref, fc_tab_ref, out_ref):
+    sym = sym_ref[:, :]  # [RB, CB]
+    ctx = ctx_ref[:, :]
+    cm = cmap_ref[:, :]          # [3, 128] chunks of cmap[0..256]
+    tab = fc_tab_ref[:, :]       # [128, 128] = [64 x 256] fc values
+    blocks = []
+    for b in range(CB // 128):
+        s = sym[:, b * 128 : (b + 1) * 128]
+        c = ctx[:, b * 128 : (b + 1) * 128]
+        cl = _gather_chunks(cm, c, 3)
+        idx = cl * 256 + s
+        blocks.append(_gather_chunks(tab, idx, 128))
+    out_ref[:, :] = jnp.concatenate(blocks, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def o1_lookup_pallas(sym, ctx, cmap, enc_planes, interpret: bool = False):
-    """sym, ctx [B, G] i32 -> (f, c) [B, G] i32 exact table lookups."""
+def o1_fc_gather_pallas(sym, ctx, cmap_pad, fc_tab, interpret: bool = False):
+    """sym [B, G] i32 in [0,256), ctx [B, G] i32 in [0,256] ->
+    fc [B, G] i32 = f + cum*8192 exact table lookups."""
     B, G = sym.shape
     Bp = -(-B // RB) * RB
     Gp = -(-G // CB) * CB
     s = jnp.pad(sym, ((0, Bp - B), (0, Gp - G)))
     c_ = jnp.pad(ctx, ((0, Bp - B), (0, Gp - G)))
     fc = pl.pallas_call(
-        _lookup_kernel,
+        _fc_kernel,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((Bp, Gp), jnp.int32),
         grid=(Bp // RB, Gp // CB),
         in_specs=[
             pl.BlockSpec((RB, CB), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, CB), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 257), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (RB, CB), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
-    )(s, c_, cmap.reshape(1, 257), enc_planes)
-    fc = fc[:B, :G]
-    return fc & 8191, fc >> 13
+    )(s, c_, cmap_pad, fc_tab)
+    return fc[:B, :G]
 
 
-def _decode_kernel(body_ref, states_ref, dlen_ref, sb_ref, cmap_ref, tab_ref,
-                   out_ref, ptr_ref, *, nsteps: int, K: int):
+# ---------------------------------------------------------------------------
+# decode walk
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref,
+                   coarse_ref, planes_ref, out_ref, ptr_ref,
+                   *, nsteps: int, K: int, r4: int, order0: bool = False,
+                   rr: int = R):
     Kc = K
-    r = tab_ref.shape[0]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, Kc), 1)
-    rowid_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc), 1)
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 1)
     ).astype(jnp.float32)
-    i257 = jax.lax.broadcasted_iota(jnp.int32, (R, Kc, 257), 2)
-    ir = jax.lax.broadcasted_iota(jnp.int32, (R, Kc, r), 2)
-    i256 = jax.lax.broadcasted_iota(jnp.int32, (R, Kc, 256), 2)
-    cm = cmap_ref[0:1, :][:, None, :]  # [1, 1, 257]
+    ir4 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, r4), 2)
+    cm = cmap_ref[:, :]        # [3, 128] chunks of cmap[0..256]
+    co = coarse_ref[:, :]      # [3, 128]: cum[cl][64], [128], [192]
     dlen = dlen_ref[:, 0:1]
     sb = sb_ref[:, 0:1]
+    kz = jnp.zeros((rr, 128 - Kc), jnp.int32)
 
-    for q in range(R):
+    def pad_k(a):
+        return jnp.concatenate([a, kz], axis=1)
+
+    co_b = [jnp.broadcast_to(co[j : j + 1, :], (rr, 128)) for j in range(3)]
+
+    for q in range(rr):
         ptr_ref[q] = 0
 
-    def step(t, states, ctx, win, rel):
-        active = (t < sb) & ((lanes * sb + t) < dlen)
+    def step(t, states, cl, win, rel):
+        if order0:  # format v2: round-robin lane interleave, no S header
+            active = (t * Kc + lanes) < dlen
+        else:       # format v3: block interleave, lane k owns [k*S, k*S+S)
+            active = (t < sb) & ((lanes * sb + t) < dlen)
         x = states
         slot = x & (M - 1)
-        cctx = jnp.sum(jnp.where(ctx[:, :, None] == i257, cm, 0), axis=2)
-        oh = (cctx[:, :, None] == ir).astype(jnp.bfloat16)
+        # quarter from 3 gathered coarse boundaries
+        clp = pad_k(cl)
+        b1 = _taa(co_b[0], clp)[:, :Kc]
+        b2 = _taa(co_b[1], clp)[:, :Kc]
+        b3 = _taa(co_b[2], clp)[:, :Kc]
+        q4 = (
+            (slot >= b1).astype(jnp.int32)
+            + (slot >= b2).astype(jnp.int32)
+            + (slot >= b3).astype(jnp.int32)
+        )
+        # one-hot over (cluster, quarter) rows; 6-bit planes -> cum_hi-1
+        oh = ((cl * 4 + q4)[:, :, None] == ir4).astype(jnp.bfloat16)
         rows = jax.lax.dot_general(
-            oh, tab_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
+            oh, planes_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [R, K, 768]
-        # rows planes recombine in f32 (values < 2^24, f32-exact; f32
-        # VPU multiply/add is single-pass where i32 multiply is not)
-        w = (
-            rows[:, :, 0:256] * 65536.0
-            + rows[:, :, 256:512] * 256.0
-            + rows[:, :, 512:768]
-        )  # (cum_hi - 1) + (f - 1) * 4096, f32
-        fr = jnp.floor(w * (1.0 / M))  # f - 1 (exact: w = fr*4096 + low12)
-        cumhi1 = w - fr * float(M)
+        )  # [R, K, 128]
+        cumhi1 = rows[:, :, :64] * 64.0 + rows[:, :, 64:]  # cum[s+1]-1, f32
         slot_f = slot.astype(jnp.float32)
         ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
-        sym = jnp.sum(ge, axis=-1).astype(jnp.int32)
-        c = jnp.sum(ge * (fr + 1.0), axis=-1).astype(jnp.int32)
-        f = jnp.sum(
-            (sym[:, :, None] == i256).astype(jnp.float32) * (fr + 1.0),
-            axis=-1,
+        rank = jnp.sum(ge, axis=-1).astype(jnp.int32)
+        sym = q4 * 64 + rank
+        maxge = jnp.max(ge * (cumhi1 + 1.0), axis=-1).astype(jnp.int32)
+        cbase = jnp.maximum(
+            jnp.where(q4 >= 1, b1, 0),
+            jnp.maximum(jnp.where(q4 >= 2, b2, 0), jnp.where(q4 >= 3, b3, 0)),
+        )
+        c = jnp.maximum(maxge, cbase)
+        chi = jnp.min(
+            jnp.where(ge > 0.5, 4096.0, cumhi1 + 1.0), axis=-1
         ).astype(jnp.int32)
+        f = chi - c
         newx = f * (x >> PROB_BITS) + slot - c
         x = jnp.where(active, newx, x)
+        if not order0:
+            cl = jnp.where(
+                active, _gather_chunks(cm, pad_k(sym), 2)[:, :Kc], cl
+            )
 
+        # shared-stream refill: both candidate bytes via one word gather
         need1 = active & (x < RANS_L)
         need2 = active & (x < (RANS_L >> 8))
         f1 = need1.astype(jnp.float32)
@@ -149,87 +198,164 @@ def _decode_kernel(body_ref, states_ref, dlen_ref, sb_ref, cmap_ref, tab_ref,
             preferred_element_type=jnp.float32).astype(jnp.int32)
         cnt1 = jnp.sum(need1.astype(jnp.int32), axis=1, keepdims=True)
         cnt2 = jnp.sum(need2.astype(jnp.int32), axis=1, keepdims=True)
-        idx_a = rel + rank1
+        idx_a = rel + rank1                 # byte index in window
         idx_b = rel + cnt1 + rank2
-        wcols = jax.lax.broadcasted_iota(jnp.int32, (R, Kc, W), 2)
-        # one fused f32 reduce fetches both bytes (see rans_pallas.py)
-        oh = (idx_a[:, :, None] == wcols).astype(jnp.float32) + 256.0 * (
-            idx_b[:, :, None] == wcols
-        ).astype(jnp.float32)
-        winf = win[:, None, :].astype(jnp.float32)
-        v = jnp.sum(oh * winf, axis=-1).astype(jnp.int32)
-        b_a = v & 0xFF
-        b_b = (v >> 8) & 0xFF
+        bidx = jnp.concatenate([idx_a, idx_b, kz[:, : 128 - 2 * Kc]], axis=1)
+        bidx = jnp.clip(bidx, 0, 4 * WW - 1)
+        widx = bidx >> 2
+        wlo = widx & 127
+        w = jnp.where(
+            widx < 128, _taa(win[:, :128], wlo), _taa(win[:, 128:], wlo)
+        )
+        byts = (w >> ((bidx & 3) * 8)) & 0xFF
+        b_a = byts[:, :Kc]
+        b_b = byts[:, Kc : 2 * Kc]
         x = jnp.where(need1, (x << 8) | b_a, x)
         x = jnp.where(need2, (x << 8) | b_b, x)
         rel = rel + cnt1 + cnt2
-        ctx = jnp.where(active, sym, ctx)
-        return x, ctx, sym, rel
+        return x, cl, sym, rel
 
-    def group(g, carry):
-        states, ctx, rel = carry
-        new_rel = jnp.zeros((R, 1), jnp.int32)
-        win = jnp.zeros((R, W), jnp.int32)
-        rid1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-        for q in range(R):
+    rowid_w = jax.lax.broadcasted_iota(jnp.int32, (rr, WW), 0)
+    rid1 = jax.lax.broadcasted_iota(jnp.int32, (rr, 1), 0)
+
+    def reload(win, rel):
+        new_rel = jnp.zeros((rr, 1), jnp.int32)
+        for q in range(rr):
             p = ptr_ref[q] + jnp.sum(rel[q : q + 1, 0:1])
-            base = pl.multiple_of((p >> 7) << 7, 128)
+            base = pl.multiple_of((p >> 9) << 9, 512)  # byte base, 512-align
             ptr_ref[q] = base
-            loaded = body_ref[q : q + 1, pl.ds(base, W)].astype(jnp.int32)
+            loaded = bodyw_ref[
+                q : q + 1, pl.ds(pl.multiple_of((base >> 9) * 128, 128), WW)
+            ]
             win = jnp.where(rowid_w == q, loaded, win)
             new_rel = jnp.where(rid1 == q, p - base, new_rel)
-        rel = new_rel
+        return win, new_rel
+
+    def supergroup(sg, carry):
+        states, cl, rel = carry
+        win = jnp.zeros((rr, WW), jnp.int32)
         syms = []
-        for j in range(4):
-            states, ctx, sym, rel = step(g * 4 + j, states, ctx, win, rel)
-            syms.append(sym)
-        out_ref[:, pl.ds(pl.multiple_of(g * 4 * Kc, 128), 4 * Kc)] = (
+        for gg in range(4):
+            if gg % 2 == 0:
+                win, rel = reload(win, rel)
+            for j in range(4):
+                states, cl, sym, rel = step(
+                    (sg * 4 + gg) * 4 + j, states, cl, win, rel
+                )
+                syms.append(sym)
+        out_ref[:, pl.ds(pl.multiple_of(sg * 16 * Kc, 16 * Kc), 16 * Kc)] = (
             jnp.concatenate(syms, axis=1)
         )
-        return states, ctx, rel
+        return states, cl, rel
 
     states = states_ref[:, :]
-    ctx = jnp.full((R, Kc), CTX0, jnp.int32)
-    rel = jnp.zeros((R, 1), jnp.int32)
-    jax.lax.fori_loop(0, nsteps // 4, group, (states, ctx, rel))
+    if order0:
+        cl0 = jnp.zeros((rr, Kc), jnp.int32)
+    else:
+        cl0 = _gather_chunks(cm, jnp.full((rr, 128), 256, jnp.int32), 3)[:, :Kc]
+    rel = jnp.zeros((rr, 1), jnp.int32)
+    jax.lax.fori_loop(0, nsteps // 16, supergroup, (states, cl0, rel))
 
 
-@functools.partial(jax.jit, static_argnames=("Smax", "K", "interpret"))
-def rans_o1_decode_pallas(body, states, dlen, S_b, cmap, dec_planes,
-                          Smax: int, K: int, interpret: bool = False):
-    """body [B, Mb] u8 (v3 body aligned to column 0), states [B, K] i32,
-    dlen/S_b [B] i32 -> lane grid [B, K, Smax] u8."""
+def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
+                 Smax: int, K: int, order0: bool, interpret: bool,
+                 rows: int = R):
+    """Shared launcher -> step-major symbol bytes [B, nsteps16*K]."""
     B, Mb = body.shape
-    assert B % R == 0, B
-    nsteps4 = -(-Smax // 4) * 4
-    Wout = nsteps4 * K
-    Mp = ((Mb + 127) // 128) * 128 + W
-    body_i = jnp.pad(body.astype(jnp.int32), ((0, 0), (0, Mp - Mb)))
+    assert B % rows == 0, B
+    assert K % 4 == 0 and 2 * K <= 128 and (4 * K) % 128 == 0, K
+    nsteps16 = -(-Smax // 16) * 16
+    r4 = planes4.shape[0]
+    # pack 4 body bytes per i32 word; pad so every window load is in range
+    Mp = ((Mb + 511) // 512) * 512 + 4 * WW * 2
+    pb = jnp.pad(body, ((0, 0), (0, Mp - Mb))).reshape(B, Mp // 4, 4)
+    bodyw = (
+        pb[:, :, 0].astype(jnp.int32)
+        | (pb[:, :, 1].astype(jnp.int32) << 8)
+        | (pb[:, :, 2].astype(jnp.int32) << 16)
+        | (pb[:, :, 3].astype(jnp.int32) << 24)
+    )
+    Wout = nsteps16 * K
 
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, nsteps=nsteps4, K=K),
+        functools.partial(
+            _decode_kernel, nsteps=nsteps16, K=K, r4=r4, order0=order0,
+            rr=rows,
+        ),
         out_shape=jax.ShapeDtypeStruct((B, Wout), jnp.int32),
-        grid=(B // R,),
+        grid=(B // rows,),
         in_specs=[
-            pl.BlockSpec((R, Mp), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 257), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, Mp // 4), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, Wout), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((rows, Wout), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((R,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((rows,), jnp.int32)],
         interpret=interpret,
     )(
-        body_i,
+        bodyw,
         states.astype(jnp.int32),
         dlen.astype(jnp.int32)[:, None],
         S_b.astype(jnp.int32)[:, None],
-        cmap.reshape(1, 257),
-        dec_planes,
+        cmap_pad,
+        coarse,
+        planes4,
     )
-    # step-major [B, t*K + k] -> lane grid [B, K, Smax]
-    grid = out.reshape(B, nsteps4, K).transpose(0, 2, 1)[:, :, :Smax]
+    return out, nsteps16
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Smax", "K", "interpret", "rows")
+)
+def rans_o1_decode_pallas(body, states, dlen, S_b, cmap_pad, coarse, planes4,
+                          Smax: int, K: int, interpret: bool = False,
+                          rows: int = R):
+    """body [B, Mb] u8 (v3 body aligned to column 0), states [B, K] i32,
+    dlen/S_b [B] i32 -> lane grid [B, K, Smax] u8.
+
+    cmap_pad [3,128] i32, coarse [3,128] i32, planes4 [4r, 128] bf16 from
+    entropy_o1.make_o1_tables.
+    """
+    B = body.shape[0]
+    byts, nsteps16 = _decode_call(
+        body, states, dlen, S_b, cmap_pad, coarse, planes4, Smax, K,
+        order0=False, interpret=interpret, rows=rows,
+    )
+    grid = byts.reshape(B, nsteps16, K).transpose(0, 2, 1)[:, :, :Smax]
     return grid.astype(jnp.uint8)
+
+
+def make_o0_dec_tables(cume):
+    """Degenerate single-cluster decode tables from a [257] i32 CDF-with-
+    sentinel (engine/entropy._cum_ext): (cmap_pad, coarse, planes4)."""
+    cum_hi = cume[1:257].astype(jnp.int32)  # cum[s+1]
+    cmap_pad = jnp.zeros((3, 128), jnp.int32)
+    coarse = jnp.zeros((3, 128), jnp.int32)
+    for j in (1, 2, 3):
+        coarse = coarse.at[j - 1, 0].set(cum_hi[64 * j - 1])
+    v = (cum_hi - 1).reshape(4, 64)
+    planes4 = jnp.concatenate([v >> 6, v & 63], axis=1).astype(jnp.bfloat16)
+    return cmap_pad, coarse, planes4
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "K", "interpret", "rows")
+)
+def rans_decode_shared_pallas(body, states, dlen, cume, N: int, K: int,
+                              interpret: bool = False, rows: int = R):
+    """Order-0 shared-stream decode (wire format v2) on the same kernel:
+    body [B, Mb] u8, states [B, K] i32, dlen [B] i32, cume [257] i32 ->
+    data [B, N] u8 (round-robin lane layout, idx = t*K + lane)."""
+    B = body.shape[0]
+    nsteps = -(-N // K)
+    cmap_pad, coarse, planes4 = make_o0_dec_tables(cume)
+    byts, _ = _decode_call(
+        body, states, dlen, jnp.zeros((B,), jnp.int32), cmap_pad, coarse,
+        planes4, nsteps, K, order0=True, interpret=interpret, rows=rows,
+    )
+    return byts[:, :N].astype(jnp.uint8)

@@ -38,6 +38,7 @@ ENGINE_CODECS = {
     "svb_zd": ("svb32_zd:1234", "svb32_zd:1234"),
     "svb0124_zd": ("svb32_zd:0124", "svb32_zd:0124"),
     "hasgam_vbsse21_zdq": ("exzd", "exzd"),
+    "dstall_srans2": ("dstall", "dstall"),
 }
 
 
@@ -99,6 +100,11 @@ def _press_bucket(sig, n, kind: str):
         from honours_tpu.engine.exzd import press_exzd_batch
 
         st, sl = press_exzd_batch(sigj, nj, _emax(L))
+    elif kind == "dstall":
+        from honours_tpu.engine.dstall import press_dstall_batch
+
+        st, sl = press_dstall_batch(sigj, nj, canned_o1_device_tables(),
+                                    _emax(L))
     else:
         raise KeyError(kind)
     return np.asarray(st), np.asarray(sl)
@@ -136,6 +142,11 @@ def _depress_bucket(buf, n, kind: str, L: int):
         from honours_tpu.engine.exzd import depress_exzd_batch
 
         out = depress_exzd_batch(bufj, nj, L, _emax(L))
+    elif kind == "dstall":
+        from honours_tpu.engine.dstall import depress_dstall_batch
+
+        out = depress_dstall_batch(bufj, nj, canned_o1_device_tables(), L,
+                                   _emax(L))
     else:
         raise KeyError(kind)
     return np.asarray(out)
@@ -153,6 +164,20 @@ def _nex_overflowed(blob: bytes, codec_name: str, emax: int) -> bool:
             return False
         (nex,) = struct.unpack_from("<I", blob, 12)
         return nex > emax
+    if codec_name == "dstall_srans2":
+        # both inner srans2 blobs carry their vbbe21 nex at blob+2
+        if len(blob) < 11:
+            return False
+        if blob[0]:
+            (stall_len,) = struct.unpack_from("<I", blob, 5)
+            (nex_s,) = struct.unpack_from("<I", blob, 11)
+            ns_off = 9 + stall_len + 4
+            if len(blob) < ns_off + 6:
+                return True  # malformed for the cap -> host path
+            (nex_n,) = struct.unpack_from("<I", blob, ns_off + 2)
+            return nex_s > emax or nex_n > emax
+        (nex_n,) = struct.unpack_from("<I", blob, 7)
+        return nex_n > emax
     if len(blob) < 6 or not any(
         k in codec_name for k in ("vb1e2", "vbe21", "vbbe21", "vbsbe21", "vbsse21")
     ):

@@ -130,3 +130,18 @@ def canned_o1_freqs() -> np.ndarray:
             np.frombuffer(raw, dtype="<u2").astype(np.int64).reshape(257, 256)
         )
     return _CACHE
+
+
+_HELDOUT_CACHE = None
+
+
+def heldout_o1_freqs() -> np.ndarray:
+    """Order-1 table trained on fixture read 0 ONLY (7,329 samples).
+
+    The held-out scoring protocol: tables from read 0, ratios measured
+    on reads 1-2 (155,185 / 95,350 samples) — data the table never saw.
+    Deterministic (same clustering/normalization as the canned table)."""
+    global _HELDOUT_CACHE
+    if _HELDOUT_CACHE is None:
+        _HELDOUT_CACHE = build_o1_freqs(fixture_streams()[:1])
+    return _HELDOUT_CACHE

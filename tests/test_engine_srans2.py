@@ -168,14 +168,15 @@ def test_srans2_cross_decode_host_streams(batch, tabs):
 
 
 def test_o1_lookup_kernel_interpret(tabs):
-    from honours_tpu.engine.rans_o1_pallas import o1_lookup_pallas
+    from honours_tpu.engine.rans_o1_pallas import o1_fc_gather_pallas
 
     rng = np.random.default_rng(5)
     sym = jnp.asarray(rng.integers(0, 256, (2, 300)), jnp.int32)
     ctx = jnp.asarray(rng.integers(0, 257, (2, 300)), jnp.int32)
-    f1, c1 = o1_lookup_pallas(
-        sym, ctx, tabs["cmap"], tabs["enc_planes"], interpret=True
+    fc = o1_fc_gather_pallas(
+        sym, ctx, tabs["cmap_pad"], tabs["fc_tab"], interpret=True
     )
+    f1, c1 = fc & 8191, fc >> 13
     f2, c2 = _o1_fc_take(sym, ctx, tabs)
     assert bool(jnp.all(f1 == f2)) and bool(jnp.all(c1 == c2))
 
@@ -212,7 +213,8 @@ def test_o1_decode_kernel_interpret(tabs):
     body = rowwise_shift_left(stream, base + 4 + 4 * K, w)
     grid = rans_o1_decode_pallas(
         body, jnp.asarray(states), jnp.asarray(dl), S_b,
-        tabs["cmap"], tabs["dec_planes"], Smax, K, interpret=True,
+        tabs["cmap_pad"], tabs["coarse"], tabs["planes4"], Smax, K,
+        interpret=True,
     )
     out = np.asarray(_ungrid(grid, S_b, jnp.asarray(dl), K, Smax, N))
     for i, d in enumerate(datas):

@@ -1,11 +1,15 @@
-"""Pallas rANS decode kernel logic (interpret mode) vs the host codec."""
+"""Pallas rANS decode kernel logic (interpret mode) vs the host codec.
+
+Order-0 (wire format v2) rides the unified gather-route decode kernel in
+engine/rans_o1_pallas.py with degenerate single-cluster tables.
+"""
 import numpy as np
 import pytest
 
 import jax.numpy as jnp
 
 from honours_tpu.codecs.srans import canned_freqs
-from honours_tpu.engine.rans_pallas import R, rans_decode_pallas
+from honours_tpu.engine.rans_o1_pallas import R, rans_decode_shared_pallas
 from honours_tpu.kernels.rans import K_SHARED, rans_encode_shared
 
 
@@ -31,12 +35,13 @@ def test_pallas_decode_matches_host(seed):
         b = np.frombuffer(s, np.uint8)[4 * K_SHARED :]
         body[i, : b.size] = b
     out = np.asarray(
-        rans_decode_pallas(
+        rans_decode_shared_pallas(
             jnp.asarray(body),
             jnp.asarray(states),
             jnp.asarray(np.array(lens, np.int32)),
             jnp.asarray(cume),
             N,
+            K_SHARED,
             interpret=True,
         )
     )
