@@ -75,6 +75,7 @@ def _ensure_loaded():
         rice,
         srans,
         srans2,
+        srans3,
         stall,
         svb,
         uintc,

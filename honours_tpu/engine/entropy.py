@@ -265,15 +265,18 @@ def rans_decode_batch(stream, base_off, dlen, freqs, cum, N: int,
     if jax.default_backend() == "tpu":
         from honours_tpu.engine.rans_o1_pallas import (
             R,
+            pick_dec_rows,
             rans_decode_shared_pallas,
         )
 
-        if B % R == 0:
+        rows = pick_dec_rows(B, N)
+        if B % rows == 0:
             # total consumption is <= 2 bytes/symbol; keep the VMEM block
             # within the 16 MB scoped limit regardless of stream caps
             cap = min(Mb, 2 * N + 256)
             return rans_decode_shared_pallas(
-                body[:, :cap], states.astype(jnp.int32), dlen, cume, N, K
+                body[:, :cap], states.astype(jnp.int32), dlen, cume, N, K,
+                rows=rows,
             )
 
     nsteps = -(-N // K)

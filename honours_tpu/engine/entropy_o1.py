@@ -253,9 +253,13 @@ def rans_o1_decode_batch(stream, base_off, dlen, tabs, N: int,
     if jax.default_backend() == "tpu":
         import os
 
-        from honours_tpu.engine.rans_o1_pallas import R, rans_o1_decode_pallas
+        from honours_tpu.engine.rans_o1_pallas import (
+            R,
+            pick_dec_rows,
+            rans_o1_decode_pallas,
+        )
 
-        rows = int(os.environ.get("HTPU_DEC_ROWS", R))
+        rows = int(os.environ.get("HTPU_DEC_ROWS", 0)) or pick_dec_rows(B, N)
         if B % rows == 0:
             # total consumption <= 2 bytes/symbol; the word-packed body
             # block stays ~R*(2N/4)*4 bytes of VMEM (1 MB at N = 64Ki)

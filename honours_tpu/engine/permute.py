@@ -261,21 +261,28 @@ def rowwise_concat(segments, total_cols: int):
 
     segments: list of (buf [B, Mi] u8, len [B] int32).
     Returns (out [B, total_cols] u8, total_len [B]).
-    Cost: one rowwise_shift_right per segment (log passes each); segment
-    data beyond its per-row length must already be zero-padded? No —
-    lengths are enforced here by masking.
+
+    Concatenation IS a monotone compaction: stack the segment buffers
+    side by side, keep only each segment's first len_i columns, and pack
+    left — ONE walk over the stacked width instead of one log-shift pass
+    stack per segment (the round-2 formulation cost ~16 ms of the srans2
+    encode at [256, 156K]; the single compact is ~1 ms).
     """
     B = segments[0][0].shape[0]
-    out = jnp.zeros((B, total_cols), dtype=jnp.uint8)
-    start = jnp.zeros((B,), dtype=jnp.int32)
-    cols = None
+    bufs, keeps = [], []
+    total_len = jnp.zeros((B,), dtype=jnp.int32)
     for buf, ln in segments:
         ln = jnp.broadcast_to(jnp.asarray(ln, jnp.int32), (B,))
         Mi = buf.shape[1]
-        if cols is None or cols.shape[1] != Mi:
-            cols = jnp.arange(Mi, dtype=jnp.int32)[None, :]
-        masked = jnp.where(cols < ln[:, None], buf, 0)
-        placed = rowwise_shift_right(masked, start, total_cols)
-        out = out | placed
-        start = start + ln
-    return out, start
+        cols = jnp.arange(Mi, dtype=jnp.int32)[None, :]
+        keep = cols < ln[:, None]
+        bufs.append(jnp.where(keep, buf, 0))
+        keeps.append(keep)
+        total_len = total_len + ln
+    cat = jnp.concatenate(bufs, axis=1)
+    keep = jnp.concatenate(keeps, axis=1)
+    out, _ = monotone_compact(cat, keep)
+    W = out.shape[1]
+    if W < total_cols:
+        out = jnp.pad(out, ((0, 0), (0, total_cols - W)))
+    return out[:, :total_cols], total_len

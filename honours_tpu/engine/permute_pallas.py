@@ -28,10 +28,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: widest row the kernels accept (live VMEM = R x Np x 4 x ~3 buffers)
-MAX_COLS = 1 << 17       # 1-channel (u8-fused / shift-payload) walks
-MAX_COLS_WIDE = 1 << 16  # 2-channel (wide payload) walks
-R = 8  # rows per program (int32 sublane tile)
+#: widest row the kernels accept (rows per program shrink with width so
+#: live VMEM — scratch channels + one roll temp — stays in budget)
+MAX_COLS = 1 << 18       # 1-channel (u8-fused / shift-payload) walks
+MAX_COLS_WIDE = 1 << 17  # 2-channel (wide payload) walks
+R = 8  # max rows per program (int32 sublane tile)
+def _vmem_limit(Np: int, nch: int) -> int:
+    """Scoped-VMEM limit for a walk: measured live ~= 3.2 buffers/channel
+    at rows=8 (scratch + roll temp + in-flight DMA).  v5e has 128 MiB of
+    VMEM; the compiler's 16 MiB default is just a default."""
+    need = R * Np * 4 * (3 * nch + 2)
+    return int(min(100 << 20, max(16 << 20, need)))
 
 
 def _nbits(n: int) -> int:
@@ -67,8 +74,8 @@ def _walk_body(chans, N, nbits, sb, left):
     return chans
 
 
-def _walk_kernel(*refs, N, nbits, sb, left, nch):
-    """HBM-resident I/O; one [R, N] block DMA'd into VMEM scratch per
+def _walk_kernel(*refs, N, nbits, sb, left, nch, rows):
+    """HBM-resident I/O; one [rows, N] block DMA'd into VMEM scratch per
     program, walked in place, DMA'd out — keeps live VMEM to the
     scratches plus one roll temp."""
     in_refs = refs[:nch]
@@ -79,22 +86,22 @@ def _walk_kernel(*refs, N, nbits, sb, left, nch):
 
     for i in range(nch):
         pltpu.make_async_copy(
-            in_refs[i].at[pl.ds(b * R, R), :], scratch[i], sems.at[i]
+            in_refs[i].at[pl.ds(b * rows, rows), :], scratch[i], sems.at[i]
         ).start()
     for i in range(nch):
         pltpu.make_async_copy(
-            in_refs[i].at[pl.ds(b * R, R), :], scratch[i], sems.at[i]
+            in_refs[i].at[pl.ds(b * rows, rows), :], scratch[i], sems.at[i]
         ).wait()
     chans = [s[:, :] for s in scratch]
     chans = _walk_body(chans, N, nbits, sb, left)
     for i in range(nch):
         scratch[i][:, :] = chans[i]
         pltpu.make_async_copy(
-            scratch[i], out_refs[i].at[pl.ds(b * R, R), :], sems.at[i]
+            scratch[i], out_refs[i].at[pl.ds(b * rows, rows), :], sems.at[i]
         ).start()
     for i in range(nch):
         pltpu.make_async_copy(
-            scratch[i], out_refs[i].at[pl.ds(b * R, R), :], sems.at[i]
+            scratch[i], out_refs[i].at[pl.ds(b * rows, rows), :], sems.at[i]
         ).wait()
 
 
@@ -105,26 +112,31 @@ def _walk(chans, sb: int, left: bool, nbits: int, interpret: bool = False):
     """chans: tuple of [B, N] i32 arrays (the fused word last)."""
     B, N = chans[0].shape
     Np = -(-N // 128) * 128
-    Bp = -(-B // R) * R
     nch = len(chans)
+    rows = R
+    Bp = -(-B // rows) * rows
     padded = [
         jnp.pad(c.astype(jnp.int32), ((0, Bp - B), (0, Np - N)))
         for c in chans
     ]
     outs = pl.pallas_call(
         functools.partial(
-            _walk_kernel, N=Np, nbits=nbits, sb=sb, left=left, nch=nch
+            _walk_kernel, N=Np, nbits=nbits, sb=sb, left=left, nch=nch,
+            rows=rows,
         ),
         out_shape=tuple(
             jax.ShapeDtypeStruct((Bp, Np), jnp.int32) for _ in range(nch)
         ),
-        grid=(Bp // R,),
+        grid=(Bp // rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nch,
         out_specs=tuple(
             pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(nch)
         ),
-        scratch_shapes=[pltpu.VMEM((R, Np), jnp.int32) for _ in range(nch)]
+        scratch_shapes=[pltpu.VMEM((rows, Np), jnp.int32) for _ in range(nch)]
         + [pltpu.SemaphoreType.DMA((nch,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(Np, nch)
+        ),
         interpret=interpret,
     )(*padded)
     outs = outs if isinstance(outs, (tuple, list)) else (outs,)

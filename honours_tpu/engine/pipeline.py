@@ -134,6 +134,48 @@ def depress_srans2_batch(stream, n, tabs, L: int,
     return _zd_merge(zd0, vals, n, L)
 
 
+@functools.partial(jax.jit, static_argnames=("emax",))
+def press_srans3_batch(sig, n, tabs, emax: int = None):
+    """Batched srans3_vbbe21_zd (nibble order-1) encode -> (stream, len).
+
+    `tabs` from entropy_o1n.make_o1n_tables (use canned_o1n_device_tables).
+    Byte-exact with the host codec per row.
+    """
+    from honours_tpu.engine.entropy_o1n import rans_o1n_encode_batch
+
+    B, L = sig.shape
+    emax = emax or L
+    zd0, rest = _zd_parts(sig, n)
+    parts = vbbe21_parts_batch(rest, n - 1, emax)
+    body, body_len = rans_o1n_encode_batch(parts["data"], parts["data_len"], tabs)
+    segs = (
+        [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32))]
+        + parts["exsegs"]
+        + [(body, body_len)]
+    )
+    total = 2 + 4 + (4 + 4 * emax + 1) + (4 + 2 * emax + 1) + 6 + body.shape[1]
+    return rowwise_concat(segs, total)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "K", "emax"))
+def depress_srans3_batch(stream, n, tabs, L: int,
+                         K: int = K_SHARED, emax: int = None):
+    """Batched srans3_vbbe21_zd decode -> [B, L] int16."""
+    from honours_tpu.engine.bits import read_u16le
+    from honours_tpu.engine.entropy_o1n import rans_o1n_decode_batch
+
+    B, Mb = stream.shape
+    zd0 = read_u16le(stream, jnp.zeros((B,), jnp.int32))
+    parsed = vbbe21_parse_batch(
+        stream, jnp.full((B,), 2, jnp.int32), n - 1, L, emax
+    )
+    data = rans_o1n_decode_batch(
+        stream, parsed["end_off"], n - 1 - parsed["nex"], tabs, L, K
+    )
+    vals = vbbe21_fill_batch(parsed, data, n - 1, L)
+    return _zd_merge(zd0, vals, n, L)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def press_shuff_batch(sig, n, lengths, codes):
     """Batched shuffman_vbbe21_zd encode -> (stream [B, M] u8, len [B])."""
@@ -168,6 +210,12 @@ def canned_o1_device_tables():
     from honours_tpu.tables.o1 import canned_o1_freqs
 
     return make_o1_tables(canned_o1_freqs())
+
+
+def canned_o1n_device_tables():
+    from honours_tpu.engine.entropy_o1n import canned_o1n_device_tables as f
+
+    return f()
 
 
 def canned_huffman_tables():

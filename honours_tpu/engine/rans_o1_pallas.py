@@ -46,6 +46,18 @@ RB = 8    # lookup block rows
 CB = 512  # lookup block cols
 
 
+def pick_dec_rows(B: int, N: int) -> int:
+    """Largest rows-per-program that divides B and keeps the block's
+    VMEM (word-packed body ~2N B/row + i32 out ~4N B/row, doubled for
+    pipelining buffers) inside ~100 MiB of v5e's 128 MiB VMEM.  More
+    rows per program = more per-vreg pipelining across the serial step
+    chain (measured 1.6x from 8 -> 32 at N = 64Ki on v5e)."""
+    for rows in (64, 32, 16, 8):
+        if B % rows == 0 and rows * 13 * max(N, 4096) <= (96 << 20):
+            return rows
+    return R
+
+
 def _taa(src_vreg, idx):
     """Single-vreg gather: src [.,128], idx [.,128] -> src[i, idx[i,j]]."""
     return jnp.take_along_axis(src_vreg, jnp.clip(idx, 0, 127), axis=1)
@@ -157,7 +169,7 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref,
             + (slot >= b2).astype(jnp.int32)
             + (slot >= b3).astype(jnp.int32)
         )
-        # one-hot over (cluster, quarter) rows; 6-bit planes -> cum_hi-1
+        # one-hot over (cluster, quarter) rows; 6-bit planes -> cum_hi
         oh = ((cl * 4 + q4)[:, :, None] == ir4).astype(jnp.bfloat16)
         rows = jax.lax.dot_general(
             oh, planes_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
@@ -296,6 +308,12 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
         out_specs=pl.BlockSpec((rows, Wout), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SMEM((rows,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                min(100 << 20,
+                    max(16 << 20, 2 * rows * (Mp + 4 * Wout) + (4 << 20)))
+            )
+        ),
         interpret=interpret,
     )(
         bodyw,

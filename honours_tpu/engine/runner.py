@@ -26,6 +26,7 @@ from honours_tpu.io.batching import bucket_reads, restore_order
 #: codecs with a batched engine (encode, decode); decode None = host-only
 ENGINE_CODECS = {
     "srans2_vbbe21_zd": ("srans2", "srans2"),
+    "srans3_vbbe21_zd": ("srans3", "srans3"),
     "srans_vbbe21_zd": ("srans", "srans"),
     "shuffman_vbbe21_zd": ("shuff", None),
     "svb12_zd": ("svb16_zd", "svb16_zd"),
@@ -39,7 +40,24 @@ ENGINE_CODECS = {
     "svb0124_zd": ("svb32_zd:0124", "svb32_zd:0124"),
     "hasgam_vbsse21_zdq": ("exzd", "exzd"),
     "dstall_srans2": ("dstall", "dstall"),
+    "rice_vbe21_zd": ("rice_zd:vbe21", None),
+    "rice_vbbe21_zd": ("rice_zd:vbbe21", None),
+    "rice_vbsbe21_zd": ("rice_zd:vbsbe21", None),
+    "rice_vbsse21_zd": ("rice_zd:vbsse21", None),
 }
+
+#: why the decode-side engine is None for the encode-only methods above
+HOST_DECODE_REASON = {
+    "shuffman_vbbe21_zd": "serial per-bit Huffman tree walk "
+    "(press/huffman/huffman.c:1219-1264); srans2 supersedes shuff on "
+    "both ratio and symmetry — see COVERAGE.md item 6",
+    "rice_vbe21_zd": "one serial bit stream per read with data-dependent "
+    "record lengths; no lane interleaving to vectorize over",
+    "rice_vbbe21_zd": "see rice_vbe21_zd",
+    "rice_vbsbe21_zd": "see rice_vbe21_zd",
+    "rice_vbsse21_zd": "see rice_vbe21_zd",
+}
+_NOTICED: set = set()
 
 
 def engine_codec_names():
@@ -80,6 +98,15 @@ def _press_bucket(sig, n, kind: str):
     sigj, nj = jnp.asarray(sig), jnp.asarray(n)
     if kind == "srans2":
         st, sl = press_srans2_batch(sigj, nj, canned_o1_device_tables(), _emax(L))
+    elif kind == "srans3":
+        from honours_tpu.engine.pipeline import (
+            canned_o1n_device_tables,
+            press_srans3_batch,
+        )
+
+        st, sl = press_srans3_batch(
+            sigj, nj, canned_o1n_device_tables(), _emax(L)
+        )
     elif kind == "srans":
         freqs, cum = canned_rans_tables()
         st, sl = press_srans_batch(sigj, nj, freqs, cum, _emax(L))
@@ -105,6 +132,10 @@ def _press_bucket(sig, n, kind: str):
 
         st, sl = press_dstall_batch(sigj, nj, canned_o1_device_tables(),
                                     _emax(L))
+    elif kind.startswith("rice_zd:"):
+        from honours_tpu.engine.rice import press_rice_vb_zd_batch
+
+        st, sl = press_rice_vb_zd_batch(sigj, nj, kind.split(":")[1], _emax(L))
     else:
         raise KeyError(kind)
     return np.asarray(st), np.asarray(sl)
@@ -125,6 +156,15 @@ def _depress_bucket(buf, n, kind: str, L: int):
     if kind == "srans2":
         out = depress_srans2_batch(bufj, nj, canned_o1_device_tables(), L,
                                    emax=_emax(L))
+    elif kind == "srans3":
+        from honours_tpu.engine.pipeline import (
+            canned_o1n_device_tables,
+            depress_srans3_batch,
+        )
+
+        out = depress_srans3_batch(
+            bufj, nj, canned_o1n_device_tables(), L, emax=_emax(L)
+        )
     elif kind == "srans":
         freqs, cum = canned_rans_tables()
         out = depress_srans_batch(bufj, nj, freqs, cum, L, emax=_emax(L))
@@ -215,6 +255,16 @@ def depress_signals_tpu(streams, lengths, codec_name: str, max_b: int = 256):
     kind = ENGINE_CODECS.get(codec_name, (None, None))[1]
     host = registry.get(codec_name)
     if kind is None:
+        if codec_name in HOST_DECODE_REASON and codec_name not in _NOTICED:
+            import sys
+
+            _NOTICED.add(codec_name)
+            print(
+                f"note: {codec_name} decode runs on the host codec "
+                f"(TPU path is encode-only: "
+                f"{HOST_DECODE_REASON[codec_name]})",
+                file=sys.stderr,
+            )
         return [host.depress(s, int(m)) for s, m in zip(streams, lengths)]
     # bucket by signal length (decode shapes key on L)
     fake = [np.zeros(int(m), np.int16) for m in lengths]

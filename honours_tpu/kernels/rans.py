@@ -380,3 +380,140 @@ def rans_decode_o1(stream: bytes, n: int, freq_tab: np.ndarray,
         states = x
         ctx = np.where(active, sym, ctx)
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# nibble-factorized order-1 rANS (format v4 — the srans3 flagship body)
+# ---------------------------------------------------------------------------
+#
+# Each byte codes as TWO 4-bit symbols: hi conditioned on the byte-level
+# context cluster (the SAME clustering as the o1 table), lo conditioned
+# on (cluster, hi) pairs clustered to rL rows.  The factorization
+# P(b|cl) = P(hi|cl) * P(lo|cl,hi) is exact, so the ratio matches the
+# byte model up to lo-table quantization (+0.33% measured at rL = 64,
+# tools/nibble_model_eval.py) — while the TPU decode search runs 16-wide
+# instead of 256-wide.  Wire format v4:
+#   [S:u32 LE][K states u32 LE][shared body]
+# with v3's block-interleaved lanes; byte t of a lane = steps 2t (hi)
+# then 2t+1 (lo); per-step refill discipline identical to v2/v3.
+
+
+def rans_encode_o1n(data: np.ndarray, tabs: dict, K: int = K_SHARED,
+                    S: int = None) -> bytes:
+    """Encode bytes with nibble tables from tables.o1n.nibble_tables()."""
+    d = np.asarray(data, dtype=np.uint8)
+    n = d.size
+    H = np.asarray(tabs["H"], np.int64)           # [r, 16]
+    L = np.asarray(tabs["L"], np.int64)           # [rL, 16]
+    cmap = np.asarray(tabs["cmap"], np.int64)     # [257] byte ctx -> cl
+    lo_assign = np.asarray(tabs["lo_assign"], np.int64)  # [r*16] -> gl
+    cumH = np.concatenate([np.zeros((H.shape[0], 1), np.int64),
+                           np.cumsum(H, axis=1)[:, :-1]], axis=1)
+    cumL = np.concatenate([np.zeros((L.shape[0], 1), np.int64),
+                           np.cumsum(L, axis=1)[:, :-1]], axis=1)
+    if S is None:
+        S = -(-n // K) if n else 0
+    Np = K * S
+    dp = np.zeros(Np, dtype=np.int64)
+    dp[:n] = d
+    grid = dp.reshape(K, S) if S else dp.reshape(K, 0)
+    ctx = np.full((K, S), CTX0, dtype=np.int64)
+    if S > 1:
+        ctx[:, 1:] = grid[:, :-1]
+    lanes = np.arange(K)
+    states = np.full(K, RANS_L, dtype=np.uint64)
+    groups = []
+    for t in range(S - 1, -1, -1):
+        active = (lanes * S + t) < n
+        cl = cmap[ctx[:, t]]
+        hi, lo = grid[:, t] >> 4, grid[:, t] & 15
+        gl = lo_assign[cl * 16 + hi]
+        for f_all, c_all in (
+            (L[gl, lo], cumL[gl, lo]),       # lo first (reverse order)
+            (H[cl, hi], cumH[cl, hi]),
+        ):
+            f = np.where(active, f_all, 1).astype(np.uint64)
+            c = np.where(active, c_all, 0).astype(np.uint64)
+            x = states.copy()
+            ubound = f * np.uint64((RANS_L >> PROB_BITS) << 8)
+            b1 = (x & np.uint64(0xFF)).astype(np.uint8)
+            over1 = active & (x >= ubound)
+            x = np.where(over1, x >> np.uint64(8), x)
+            b2 = (x & np.uint64(0xFF)).astype(np.uint8)
+            over2 = active & (x >= ubound)
+            x = np.where(over2, x >> np.uint64(8), x)
+            states = np.where(
+                active, (x // f << np.uint64(PROB_BITS)) + (x % f) + c, x
+            )
+            round1 = np.where(over2, b2, b1)[over1]
+            round2 = b1[over2]
+            groups.append(round1.tobytes() + round2.tobytes())
+    groups.reverse()
+    return (
+        np.uint32(S).tobytes()
+        + states.astype("<u4").tobytes()
+        + b"".join(groups)
+    )
+
+
+def rans_decode_o1n(stream: bytes, n: int, tabs: dict,
+                    K: int = K_SHARED) -> np.ndarray:
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    H = np.asarray(tabs["H"], np.int64)
+    L = np.asarray(tabs["L"], np.int64)
+    cmap = np.asarray(tabs["cmap"], np.int64)
+    lo_assign = np.asarray(tabs["lo_assign"], np.int64)
+    cumH = np.concatenate([np.zeros((H.shape[0], 1), np.int64),
+                           np.cumsum(H, axis=1)[:, :-1]], axis=1)
+    cumL = np.concatenate([np.zeros((L.shape[0], 1), np.int64),
+                           np.cumsum(L, axis=1)[:, :-1]], axis=1)
+    slot_h = np.zeros((H.shape[0], M), dtype=np.int64)
+    for j in range(H.shape[0]):
+        slot_h[j] = np.repeat(np.arange(16), H[j])
+    slot_l = np.zeros((L.shape[0], M), dtype=np.int64)
+    for j in range(L.shape[0]):
+        slot_l[j] = np.repeat(np.arange(16), L[j])
+    S = int(np.frombuffer(stream, dtype="<u4", count=1)[0])
+    states = (
+        np.frombuffer(stream, dtype="<u4", count=K, offset=4)
+        .astype(np.uint64).copy()
+    )
+    ptr = 4 + 4 * K
+    out = np.zeros(K * S, dtype=np.uint8)
+    lanes = np.arange(K)
+    cl = np.full(K, 0, dtype=np.int64)
+    cl[:] = cmap[CTX0]
+    for t in range(S):
+        active = (lanes * S + t) < n
+        hi = np.zeros(K, np.int64)
+        for phase in (0, 1):
+            x = states
+            slot = (x & np.uint64(M - 1)).astype(np.int64)
+            if phase == 0:
+                sym = slot_h[cl, slot]
+                f = H[cl, sym].astype(np.uint64)
+                c = cumH[cl, sym].astype(np.uint64)
+                hi = sym
+            else:
+                gl = lo_assign[cl * 16 + hi]
+                sym = slot_l[gl, slot]
+                f = L[gl, sym].astype(np.uint64)
+                c = cumL[gl, sym].astype(np.uint64)
+                byte = hi * 16 + sym
+                out[lanes * S + t] = np.where(active, byte, 0)
+                cl = np.where(active, cmap[byte], cl)
+            x = np.where(
+                active,
+                f * (x >> np.uint64(PROB_BITS))
+                + slot.astype(np.uint64) - c,
+                x,
+            )
+            for _ in range(2):
+                under = active & (x < np.uint64(RANS_L))
+                cnt = int(under.sum())
+                if cnt:
+                    b = buf[ptr : ptr + cnt].astype(np.uint64)
+                    x[under] = (x[under] << np.uint64(8)) | b
+                    ptr += cnt
+            states = x
+    return out[:n]

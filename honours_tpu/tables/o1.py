@@ -70,7 +70,7 @@ def _cluster_contexts(counts: np.ndarray, r: int, iters: int = 30):
             if sel.any():
                 cj = np.sqrt(np.average(P[sel], axis=0, weights=w[sel]))
                 C[j] = cj / np.linalg.norm(cj)
-    crows = np.zeros((r, 256), dtype=np.float64)
+    crows = np.zeros((r, counts.shape[1]), dtype=np.float64)
     for j in range(r):
         sel = assign == j
         crows[j] = counts[sel].sum(axis=0) if sel.any() else counts.sum(axis=0)
