@@ -49,16 +49,21 @@ def make_o1n_tables(nib: dict) -> dict:
     sl = np.zeros((rL, M), np.int64)
     for j in range(rL):
         sl[j] = np.repeat(np.arange(16), L[j])
-    planes_h = np.concatenate([np.cumsum(H, axis=1), H], axis=1)  # cumhi|f
-    planes_l = np.concatenate([np.cumsum(L, axis=1), L], axis=1)
+    # 6-bit bf16-exact planes (Mosaic f32 matmuls round through bf16, so
+    # raw 12-bit f32 tables are NOT exact on hardware):
+    # cols [0:16] cumhi>>6, [16:32] cumhi&63, [32:48] f>>6, [48:64] f&63
+    ch = np.cumsum(H, axis=1)
+    cl2 = np.cumsum(L, axis=1)
+    planes_h = np.concatenate([ch >> 6, ch & 63, H >> 6, H & 63], axis=1)
+    planes_l = np.concatenate([cl2 >> 6, cl2 & 63, L >> 6, L & 63], axis=1)
     return dict(
         r=r, rL=rL,
         cmap_pad=_flat_pad(cmap, 3),
         lo_assign_pad=_flat_pad(lo_assign, 8),
         fcH_tab=_flat_pad(H + cumH * 8192, 8),
         fcL_tab=_flat_pad(L + cumL * 8192, 8),
-        planes_h=jnp.asarray(planes_h, jnp.float32),
-        planes_l=jnp.asarray(planes_l, jnp.float32),
+        planes_h=jnp.asarray(planes_h, jnp.bfloat16),
+        planes_l=jnp.asarray(planes_l, jnp.bfloat16),
         # CPU take route
         flat_cmap=jnp.asarray(cmap, jnp.int32),
         flat_lo=jnp.asarray(lo_assign, jnp.int32),

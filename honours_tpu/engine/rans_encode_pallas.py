@@ -118,6 +118,12 @@ def rans_encode_core_pallas(fc, Smax: int, K: int, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                min(100 << 20,
+                    max(16 << 20, 2 * R * (S2 * K * 4 * 3) + (4 << 20)))
+            )
+        ),
         interpret=interpret,
     )(fcp)
     return plane[:, : Smax * 2 * K], states

@@ -1,14 +1,16 @@
 """Pallas TPU kernels for the nibble-factorized rANS engine (format v4).
 
-The srans3 decode walk: each byte is TWO 16-symbol rANS steps, so the
-per-step search is 16-wide — the cumulative/frequency row of the active
-context materializes with a tiny [RK, r] x [r, 32] f32 one-hot matmul
-(values <= 4096 are f32-exact, no plane splitting), and rank/c/f come
-from 16-wide compares and sums.  The refill/window skeleton is the v3
-kernel's (rans_o1_pallas.py), which measures at 3.8 ms for the whole
-bench batch — the 256-wide byte-model search that dominated v3 decode
-(~68 of 72 ms) shrinks ~10x per step here at +0.33% ratio
-(tools/nibble_model_eval.py).
+The srans3 decode walk: each byte is TWO 16-symbol rANS steps — the
+cum/freq row of the active context materializes with a [RK, r] x [r, 64]
+one-hot matmul over 6-bit bf16-exact planes (Mosaic f32 matmuls round
+through bf16, so raw 12-bit f32 tables are NOT exact on hardware), and
+rank/c/f come from 16-wide compares and sums.  NOTE the measured
+outcome (round 3, v5e): the narrow search does NOT beat the v3 byte
+kernel — elementwise ops cost vreg granularity (ceil(rows*K/8) sublane
+groups x >= 1 lane tile), so 16-wide tensors occupy as many vregs as
+64-wide ones, and the doubled step count plus the per-byte lo-context
+gathers make srans3 decode slower than srans2's.  Kept as a correct,
+byte-exact alternative format; srans2 remains the flagship.
 
 o1n_fc_gather_pallas: the encode-side per-byte (fc_hi, fc_lo) lookups
 as chunked single-vreg gathers (same route as o1_fc_gather_pallas).
@@ -156,17 +158,19 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref, lo_ref,
 
     def phase(x, active, ids, planes, ir, win, rel):
         slot = x & (M - 1)
-        oh = (ids[:, :, None] == ir).astype(jnp.float32)
+        oh = (ids[:, :, None] == ir).astype(jnp.bfloat16)
         rows = jax.lax.dot_general(
             oh, planes, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [rr, K, 32]: cum_hi 16 | freq 16
+        )  # [rr, K, 64]: 6-bit planes of cum_hi | freq
+        cumhi = rows[:, :, :16] * 64.0 + rows[:, :, 16:32]
+        freq = rows[:, :, 32:48] * 64.0 + rows[:, :, 48:64]
         slot_f = slot.astype(jnp.float32)
-        ge = (slot_f[:, :, None] >= rows[:, :, :16]).astype(jnp.float32)
+        ge = (slot_f[:, :, None] >= cumhi).astype(jnp.float32)
         rank = jnp.sum(ge, axis=-1).astype(jnp.int32)
-        c = jnp.sum(ge * rows[:, :, 16:], axis=-1).astype(jnp.int32)
+        c = jnp.sum(ge * freq, axis=-1).astype(jnp.int32)
         eq = (rank[:, :, None] == i16).astype(jnp.float32)
-        f = jnp.sum(eq * rows[:, :, 16:], axis=-1).astype(jnp.int32)
+        f = jnp.sum(eq * freq, axis=-1).astype(jnp.int32)
         newx = f * (x >> PROB_BITS) + slot - c
         x = jnp.where(active, newx, x)
         x, rel = refill(x, active, win, rel)

@@ -62,13 +62,16 @@ def svb16_encode_batch(sig: jnp.ndarray, n: jnp.ndarray, zd: bool = True):
 
     cand = _interleave2((v & 0xFF).astype(jnp.uint8), (v >> 8).astype(jnp.uint8))
     keep = _interleave2(valid, valid & (two == 1))
-    data, data_len = monotone_compact(cand, keep)
-
     kl = (n + 7) // 8
-    stream, _ = rowwise_concat(
-        [(keys, kl), (data, data_len)], KL + 2 * L
-    )
-    return stream, kl + data_len
+    # keys ++ data in ONE compaction (concatenation IS a compaction —
+    # see permute.rowwise_concat): saves a whole walk vs compacting the
+    # data then concatenating the ragged key area in a second pass.
+    kcols = jnp.arange(KL, dtype=jnp.int32)[None, :]
+    cat = jnp.concatenate([jnp.where(kcols < kl[:, None], keys, 0), cand],
+                          axis=1)
+    keepc = jnp.concatenate([kcols < kl[:, None], keep], axis=1)
+    stream, total = monotone_compact(cat, keepc)
+    return stream, total
 
 
 @functools.partial(jax.jit, static_argnames=("L", "zd"))

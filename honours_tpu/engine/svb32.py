@@ -84,10 +84,15 @@ def svb32_encode_batch(values, n, variant: str = "1234"):
         for k in range(4)
     ]
     keep_k = [valid & (nb > k) for k in range(4)]
-    data, data_len = monotone_compact(_interleave4(bytes_k), _interleave4(keep_k))
-
     kl = (n + 3) // 4
-    stream, total = rowwise_concat([(keys, kl), (data, data_len)], N // 4 + 4 * N)
+    # keys ++ data in ONE compaction (see svb16.py note)
+    kcols = jnp.arange(N // 4, dtype=jnp.int32)[None, :]
+    cat = jnp.concatenate(
+        [jnp.where(kcols < kl[:, None], keys, 0), _interleave4(bytes_k)],
+        axis=1,
+    )
+    keepc = jnp.concatenate([kcols < kl[:, None], _interleave4(keep_k)], axis=1)
+    stream, total = monotone_compact(cat, keepc)
     return stream, total
 
 

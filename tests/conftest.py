@@ -73,3 +73,15 @@ def rng_signals(seed=0, n_cases=12):
         np.array([256], dtype=np.int16),  # single exception, nex==1 framing
     ]
     return cases[:n_cases]
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_after_module():
+    """Free compiled executables between test modules.
+
+    The full suite compiles hundreds of XLA CPU executables; without
+    this the accumulated allocations eventually abort the XLA compiler
+    partway through the run (reproduced at test_runner when running the
+    whole suite, while every module passes standalone)."""
+    yield
+    jax.clear_caches()
