@@ -118,6 +118,8 @@ DEFAULT_METHODS = [
     "rccm_svb12_zd",
     "srans_vbbe21_zd",
     "srans2_vbbe21_zd",
+    "srans3_vbbe21_zd",
+    "dstall_srans2",
     "hasgam_vbsse21_zdq",
     "zlib_hasgam_vbsse21_zdq",
     "zstd_hasgam_vbsse21_zdq",

@@ -289,6 +289,43 @@ _ENCODERS = {
 }
 
 
+def _encoder_segs(kind: str, v, n, emax: int):
+    """(segs, width) of the container payload — lets callers prepend
+    their own header segments and pay for ONE concat walk total."""
+    B, L = v.shape
+    if kind == "vb1e2":
+        p = _ex_parts(v, n, emax)
+        lo = (v & 0xFF).astype(jnp.uint8)
+        hi = ((v >> 8) & 0xFF).astype(jnp.uint8)
+        keep = _interleave2(p["valid"], p["valid"] & p["ex"])
+        data, data_len = monotone_compact(_interleave2(lo, hi), keep)
+        segs = [
+            (u32le_bytes(p["nex"]), jnp.full((B,), 4, jnp.int32)),
+            (_u32_grid_bytes(p["ex_pos"]), 4 * p["nex"]),
+            (data, data_len),
+        ]
+        return segs, 4 + 4 * emax + 2 * L
+    if kind == "vbe21":
+        p = _ex_parts(v, n, emax)
+        segs = [
+            (u32le_bytes(p["nex"]), jnp.full((B,), 4, jnp.int32)),
+            (_u32_grid_bytes(p["ex_pos"]), 4 * p["nex"]),
+            (_u16_grid_bytes(p["ex_val"]), 2 * p["nex"]),
+            (p["data"], p["data_len"]),
+        ]
+        return segs, 4 + 6 * emax + L
+    if kind == "vbbe21":
+        from honours_tpu.engine.vbbe21 import vbbe21_parts_batch
+
+        p = vbbe21_parts_batch(v, n, emax)
+        segs = p["exsegs"] + [(p["data"], p["data_len"])]
+        return segs, 4 + 4 + 4 * emax + 4 + 2 * emax + 16 + L
+    p = _ex_parts(v, n, emax)
+    segs, width = _svb_exblock_parts(p, emax, val_svb=(kind == "vbsse21"))
+    segs.append((p["data"], p["data_len"]))
+    return segs, width + L
+
+
 def _zd_head(sig, n):
     B, L = sig.shape
     zd = jnp_zigdelta(sig)
@@ -298,14 +335,16 @@ def _zd_head(sig, n):
 
 @functools.partial(jax.jit, static_argnames=("kind", "emax"))
 def press_vb_zd_batch(sig, n, kind: str, emax: int = None):
-    """Batched <kind>_zd encode -> (stream [B, M] u8, len [B])."""
+    """Batched <kind>_zd encode -> (stream [B, M] u8, len [B]).
+
+    Flattened framing: the zd0 header joins the container's own segment
+    list so the whole stream packs in ONE concat walk."""
     B, L = sig.shape
+    emax = emax or L
     zd0, rest = _zd_head(sig, n)
-    body, blen = _ENCODERS[kind](rest, n - 1, emax)
-    return rowwise_concat(
-        [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32)), (body, blen)],
-        2 + body.shape[1],
-    )
+    segs, width = _encoder_segs(kind, rest, n - 1, emax)
+    segs = [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32))] + segs
+    return rowwise_concat(segs, 2 + width)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "L", "emax"))
