@@ -259,7 +259,6 @@ def rans_decode_batch(stream, base_off, dlen, freqs, cum, N: int,
 
     state_off = base_off[:, None] + 4 * jnp.broadcast_to(lanes, (B, K))
     states = rd_u32(state_off)
-    body = rowwise_shift_left(stream, base_off + 4 * K, Mb)
     cume = _cum_ext(cum)
 
     if jax.default_backend() == "tpu":
@@ -271,13 +270,14 @@ def rans_decode_batch(stream, base_off, dlen, freqs, cum, N: int,
 
         rows = pick_dec_rows(B, N)
         if B % rows == 0:
-            # total consumption is <= 2 bytes/symbol; keep the VMEM block
-            # within the 16 MB scoped limit regardless of stream caps
-            cap = min(Mb, 2 * N + 256)
+            # whole stream goes in; the kernel windows start at the
+            # per-row body offset (no rowwise alignment shift needed)
             return rans_decode_shared_pallas(
-                body[:, :cap], states.astype(jnp.int32), dlen, cume, N, K,
-                rows=rows,
+                stream, states.astype(jnp.int32), dlen, cume, N, K,
+                rows=rows, body_off=base_off + 4 * K,
             )
+
+    body = rowwise_shift_left(stream, base_off + 4 * K, Mb)
 
     nsteps = -(-N // K)
 

@@ -248,7 +248,6 @@ def rans_o1_decode_batch(stream, base_off, dlen, tabs, N: int,
 
     state_off = base_off[:, None] + 4 + 4 * jnp.broadcast_to(lanes, (B, K))
     states = rd_u32(state_off)
-    body = rowwise_shift_left(stream, base_off + 4 + 4 * K, Mb)
 
     if jax.default_backend() == "tpu":
         import os
@@ -261,15 +260,18 @@ def rans_o1_decode_batch(stream, base_off, dlen, tabs, N: int,
 
         rows = int(os.environ.get("HTPU_DEC_ROWS", 0)) or pick_dec_rows(B, N)
         if B % rows == 0:
-            # total consumption <= 2 bytes/symbol; the word-packed body
-            # block stays ~R*(2N/4)*4 bytes of VMEM (1 MB at N = 64Ki)
-            cap = min(Mb, 2 * N + 256)
+            # the kernel's windows start at an arbitrary per-row byte
+            # offset, so the whole stream goes in as-is (no rowwise
+            # body-alignment shift — that pass alone cost ~30 ms at
+            # [256, 90K] in round 2)
             grid = rans_o1_decode_pallas(
-                body[:, :cap], states.astype(jnp.int32), dlen,
+                stream, states.astype(jnp.int32), dlen,
                 S_b, tabs["cmap_pad"], tabs["coarse"], tabs["planes4"],
-                Smax, K, rows=rows,
+                Smax, K, rows=rows, body_off=base_off + 4 + 4 * K,
             )
             return _ungrid(grid, S_b, dlen, K, Smax, N)
+
+    body = rowwise_shift_left(stream, base_off + 4 + 4 * K, Mb)
 
     cum_ext = tabs["cum_ext"]
 

@@ -52,7 +52,8 @@ def _divmod_f32(x, f):
     return qh * 4096 + ql, r
 
 
-def _encode_kernel(fc_ref, plane_ref, states_ref, *, ngroups: int, K: int):
+def _encode_kernel(fc_ref, plane_ref, states_ref, *, ngroups: int, K: int,
+                   rr: int = R):
     def step(fc, states):
         active = fc > 0
         f = fc & 8191
@@ -89,9 +90,20 @@ def _encode_kernel(fc_ref, plane_ref, states_ref, *, ngroups: int, K: int):
         )
         return states
 
-    states = jnp.full((R, K), RANS_L, jnp.int32)
+    states = jnp.full((rr, K), RANS_L, jnp.int32)
     states = jax.lax.fori_loop(0, ngroups, group, states)
     states_ref[:, :] = states
+
+
+def pick_enc_rows(B: int, Smax: int, K: int) -> int:
+    """Rows per program: more sublane rows hide the serial step chain's
+    op latencies (the per-step math is tiny [rows, K] vector work).
+    Bounded by VMEM: the in/out blocks are ~12*Smax*K bytes/row
+    (fc i32 + plane i32 x2), doubled for pipeline buffers."""
+    for rows in (32, 16, 8):
+        if B % rows == 0 and 2 * rows * (12 * Smax * K) <= (88 << 20):
+            return rows
+    return R
 
 
 @functools.partial(jax.jit, static_argnames=("Smax", "K", "interpret"))
@@ -100,28 +112,29 @@ def rans_encode_core_pallas(fc, Smax: int, K: int, interpret: bool = False):
     states [B, K] i32).  Requires 4K % 128 == 0 (K=32)."""
     B = fc.shape[0]
     assert B % R == 0 and (4 * K) % 128 == 0, (B, K)
+    rows = pick_enc_rows(B, Smax, K)
     S2 = -(-Smax // 4) * 4
     fcp = jnp.pad(fc, ((0, 0), (0, (S2 - Smax) * K)))
     plane, states = pl.pallas_call(
-        functools.partial(_encode_kernel, ngroups=S2 // 4, K=K),
+        functools.partial(_encode_kernel, ngroups=S2 // 4, K=K, rr=rows),
         out_shape=(
             jax.ShapeDtypeStruct((B, S2 * 2 * K), jnp.int32),
             jax.ShapeDtypeStruct((B, K), jnp.int32),
         ),
-        grid=(B // R,),
+        grid=(B // rows,),
         in_specs=[
-            pl.BlockSpec((R, S2 * K), lambda b: (b, 0),
+            pl.BlockSpec((rows, S2 * K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((R, S2 * 2 * K), lambda b: (b, 0),
+            pl.BlockSpec((rows, S2 * 2 * K), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
                 min(100 << 20,
-                    max(16 << 20, 2 * R * (S2 * K * 4 * 3) + (4 << 20)))
+                    max(16 << 20, 2 * rows * (S2 * K * 4 * 3) + (4 << 20)))
             )
         ),
         interpret=interpret,

@@ -48,12 +48,16 @@ CB = 512  # lookup block cols
 
 def pick_dec_rows(B: int, N: int) -> int:
     """Largest rows-per-program that divides B and keeps the block's
-    VMEM (word-packed body ~2N B/row + i32 out ~4N B/row, doubled for
-    pipelining buffers) inside ~100 MiB of v5e's 128 MiB VMEM.  More
-    rows per program = more per-vreg pipelining across the serial step
-    chain (measured 1.6x from 8 -> 32 at N = 64Ki on v5e)."""
+    VMEM (word-packed body ~2N B/row + i32 out ~4N B/row) inside ~100
+    MiB of v5e's 128 MiB VMEM.  The decode step chain is LATENCY-bound
+    (the stripped skeleton runs 17x faster than the full kernel at 32
+    rows), so rows should be as large as memory allows: every extra row
+    pipelines more independent work into the per-step dot/VPU chain."""
+    # rows > 64 explode Mosaic compile time (instruction count scales
+    # with vreg count x the 16-step unrolled supergroup) — measured a
+    # >20 min compile at rows=256
     for rows in (64, 32, 16, 8):
-        if B % rows == 0 and rows * 13 * max(N, 4096) <= (96 << 20):
+        if B % rows == 0 and rows * 5 * max(N, 4096) <= (88 << 20):
             return rows
     return R
 
@@ -127,8 +131,8 @@ def o1_fc_gather_pallas(sym, ctx, cmap_pad, fc_tab, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref,
-                   coarse_ref, planes_ref, out_ref, ptr_ref,
+def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, off_ref, cmap_ref,
+                   coarse_ref, planes_ref, out_ref, ptr_ref, win_ref,
                    *, nsteps: int, K: int, r4: int, order0: bool = False,
                    rr: int = R):
     Kc = K
@@ -169,12 +173,16 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref,
             + (slot >= b2).astype(jnp.int32)
             + (slot >= b3).astype(jnp.int32)
         )
-        # one-hot over (cluster, quarter) rows; 6-bit planes -> cum_hi
-        oh = ((cl * 4 + q4)[:, :, None] == ir4).astype(jnp.bfloat16)
-        rows = jax.lax.dot_general(
-            oh, planes_ref[:, :], dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [R, K, 128]
+        # one-hot over (cluster, quarter) rows; 6-bit planes -> cum_hi.
+        # The dot runs 2-D [rr*K, r4] x [r4, 128] so Mosaic lowers it to
+        # a clean MXU matmul; only leading dims are reshaped (the minor
+        # dim is unchanged, which is the layout-legal shape cast).
+        oh2 = ((cl * 4 + q4)[:, :, None] == ir4).astype(jnp.bfloat16).reshape(
+            rr * Kc, r4
+        )
+        rows = jnp.dot(
+            oh2, planes_ref[:, :], preferred_element_type=jnp.float32
+        ).reshape(rr, Kc, 128)
         cumhi1 = rows[:, :, :64] * 64.0 + rows[:, :, 64:]  # cum[s+1]-1, f32
         slot_f = slot.astype(jnp.float32)
         ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
@@ -227,36 +235,37 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref,
         rel = rel + cnt1 + cnt2
         return x, cl, sym, rel
 
-    rowid_w = jax.lax.broadcasted_iota(jnp.int32, (rr, WW), 0)
     rid1 = jax.lax.broadcasted_iota(jnp.int32, (rr, 1), 0)
 
-    def reload(win, rel):
+    def reload(rel):
+        # per-row window refresh by DIRECT row copies into the scratch
+        # ref — the round-2 jnp.where select per row cost O(rr^2 * WW)
+        # and capped usable rows at 64
         new_rel = jnp.zeros((rr, 1), jnp.int32)
         for q in range(rr):
             p = ptr_ref[q] + jnp.sum(rel[q : q + 1, 0:1])
             base = pl.multiple_of((p >> 9) << 9, 512)  # byte base, 512-align
             ptr_ref[q] = base
-            loaded = bodyw_ref[
+            win_ref[q : q + 1, :] = bodyw_ref[
                 q : q + 1, pl.ds(pl.multiple_of((base >> 9) * 128, 128), WW)
             ]
-            win = jnp.where(rowid_w == q, loaded, win)
             new_rel = jnp.where(rid1 == q, p - base, new_rel)
-        return win, new_rel
+        return new_rel
 
     def supergroup(sg, carry):
         states, cl, rel = carry
-        win = jnp.zeros((rr, WW), jnp.int32)
         syms = []
         for gg in range(4):
             if gg % 2 == 0:
-                win, rel = reload(win, rel)
+                rel = reload(rel)
+            win = win_ref[:, :]
             for j in range(4):
                 states, cl, sym, rel = step(
                     (sg * 4 + gg) * 4 + j, states, cl, win, rel
                 )
                 syms.append(sym)
         out_ref[:, pl.ds(pl.multiple_of(sg * 16 * Kc, 16 * Kc), 16 * Kc)] = (
-            jnp.concatenate(syms, axis=1)
+            jnp.concatenate(syms, axis=1).astype(jnp.uint8)
         )
         return states, cl, rel
 
@@ -265,19 +274,30 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref,
         cl0 = jnp.zeros((rr, Kc), jnp.int32)
     else:
         cl0 = _gather_chunks(cm, jnp.full((rr, 128), 256, jnp.int32), 3)[:, :Kc]
-    rel = jnp.zeros((rr, 1), jnp.int32)
+    # the window machinery handles an arbitrary per-row byte start: rel
+    # begins at the body's offset within the (word-packed) stream, so
+    # callers need no rowwise pre-shift of the body to column 0
+    rel = off_ref[:, 0:1]
     jax.lax.fori_loop(0, nsteps // 16, supergroup, (states, cl0, rel))
 
 
 def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
                  Smax: int, K: int, order0: bool, interpret: bool,
-                 rows: int = R):
-    """Shared launcher -> step-major symbol bytes [B, nsteps16*K]."""
+                 rows: int = R, body_off=None):
+    """Shared launcher -> step-major symbol bytes [B, nsteps16*K].
+
+    `body_off` [B] i32: per-row byte offset of the body inside `body`
+    (default 0 = body aligned to column 0).  The kernel's window reloads
+    start at that offset, so callers can pass the whole stream instead of
+    paying a rowwise shift to align the body first.
+    """
     B, Mb = body.shape
     assert B % rows == 0, B
     assert K % 4 == 0 and 2 * K <= 128 and (4 * K) % 128 == 0, K
     nsteps16 = -(-Smax // 16) * 16
     r4 = planes4.shape[0]
+    if body_off is None:
+        body_off = jnp.zeros((B,), jnp.int32)
     # pack 4 body bytes per i32 word; pad so every window load is in range
     Mp = ((Mb + 511) // 512) * 512 + 4 * WW * 2
     pb = jnp.pad(body, ((0, 0), (0, Mp - Mb))).reshape(B, Mp // 4, 4)
@@ -294,11 +314,12 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
             _decode_kernel, nsteps=nsteps16, K=K, r4=r4, order0=order0,
             rr=rows,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Wout), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, Wout), jnp.uint8),
         grid=(B // rows,),
         in_specs=[
             pl.BlockSpec((rows, Mp // 4), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -307,11 +328,14 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
         ],
         out_specs=pl.BlockSpec((rows, Wout), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((rows,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((rows,), jnp.int32),
+            pltpu.VMEM((rows, WW), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
-                min(100 << 20,
-                    max(16 << 20, 2 * rows * (Mp + 4 * Wout) + (4 << 20)))
+                min(110 << 20,
+                    max(16 << 20, 3 * rows * (Mp + Wout) + (16 << 20)))
             )
         ),
         interpret=interpret,
@@ -320,6 +344,7 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
         states.astype(jnp.int32),
         dlen.astype(jnp.int32)[:, None],
         S_b.astype(jnp.int32)[:, None],
+        body_off.astype(jnp.int32)[:, None],
         cmap_pad,
         coarse,
         planes4,
@@ -332,9 +357,10 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
 )
 def rans_o1_decode_pallas(body, states, dlen, S_b, cmap_pad, coarse, planes4,
                           Smax: int, K: int, interpret: bool = False,
-                          rows: int = R):
-    """body [B, Mb] u8 (v3 body aligned to column 0), states [B, K] i32,
-    dlen/S_b [B] i32 -> lane grid [B, K, Smax] u8.
+                          rows: int = R, body_off=None):
+    """body [B, Mb] u8 (v3 body at column 0, or at per-row byte offset
+    `body_off`), states [B, K] i32, dlen/S_b [B] i32 ->
+    lane grid [B, K, Smax] u8.
 
     cmap_pad [3,128] i32, coarse [3,128] i32, planes4 [4r, 128] bf16 from
     entropy_o1.make_o1_tables.
@@ -342,7 +368,7 @@ def rans_o1_decode_pallas(body, states, dlen, S_b, cmap_pad, coarse, planes4,
     B = body.shape[0]
     byts, nsteps16 = _decode_call(
         body, states, dlen, S_b, cmap_pad, coarse, planes4, Smax, K,
-        order0=False, interpret=interpret, rows=rows,
+        order0=False, interpret=interpret, rows=rows, body_off=body_off,
     )
     grid = byts.reshape(B, nsteps16, K).transpose(0, 2, 1)[:, :, :Smax]
     return grid.astype(jnp.uint8)
@@ -365,9 +391,11 @@ def make_o0_dec_tables(cume):
     jax.jit, static_argnames=("N", "K", "interpret", "rows")
 )
 def rans_decode_shared_pallas(body, states, dlen, cume, N: int, K: int,
-                              interpret: bool = False, rows: int = R):
+                              interpret: bool = False, rows: int = R,
+                              body_off=None):
     """Order-0 shared-stream decode (wire format v2) on the same kernel:
-    body [B, Mb] u8, states [B, K] i32, dlen [B] i32, cume [257] i32 ->
+    body [B, Mb] u8 (at column 0 or per-row offset body_off), states
+    [B, K] i32, dlen [B] i32, cume [257] i32 ->
     data [B, N] u8 (round-robin lane layout, idx = t*K + lane)."""
     B = body.shape[0]
     nsteps = -(-N // K)
@@ -375,5 +403,6 @@ def rans_decode_shared_pallas(body, states, dlen, cume, N: int, K: int,
     byts, _ = _decode_call(
         body, states, dlen, jnp.zeros((B,), jnp.int32), cmap_pad, coarse,
         planes4, nsteps, K, order0=True, interpret=interpret, rows=rows,
+        body_off=body_off,
     )
     return byts[:, :N].astype(jnp.uint8)

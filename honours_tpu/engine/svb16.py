@@ -44,11 +44,30 @@ def _interleave2(a, b):
     return jnp.stack([a, b], axis=2).reshape(B, 2 * L)
 
 
+def _fused():
+    """TPU route: the fully-fused Mosaic kernels (svb16_fused.py) — the
+    whole codec in one kernel per direction instead of XLA glue around a
+    walk kernel.  Byte-identical streams."""
+    import os
+
+    if os.environ.get("HTPU_SVB16_FUSED", "0") != "1":
+        # default off until the fused kernels' chip parity run flips it
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    from honours_tpu.engine import svb16_fused
+
+    return svb16_fused
+
+
 @functools.partial(jax.jit, static_argnames=("zd",))
 def svb16_encode_batch(sig: jnp.ndarray, n: jnp.ndarray, zd: bool = True):
     """Encode [B, L] int16 with lengths n -> (stream [B, L//8 + 2L] u8,
     out_len [B]).  L must be a multiple of 8."""
     B, L = sig.shape
+    sf = _fused()
+    if sf is not None:
+        return sf.svb16_encode_fused(sig, n, zd=zd)
     KL = L // 8
     if zd:
         v = jnp_zigdelta(sig)  # int32, uint16-valued
@@ -78,6 +97,9 @@ def svb16_encode_batch(sig: jnp.ndarray, n: jnp.ndarray, zd: bool = True):
 def svb16_decode_batch(stream: jnp.ndarray, n: jnp.ndarray, L: int, zd: bool = True):
     """Decode [B, M] u8 with lengths n -> [B, L] int16 (padded lanes 0)."""
     B, M = stream.shape
+    sf = _fused()
+    if sf is not None:
+        return sf.svb16_decode_fused(stream, n, L, zd=zd)
     KL = L // 8
     pos = jnp.arange(L, dtype=jnp.int32)
     valid = pos[None, :] < n[:, None]

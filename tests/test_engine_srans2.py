@@ -220,6 +220,17 @@ def test_o1_decode_kernel_interpret(tabs):
     for i, d in enumerate(datas):
         assert np.array_equal(out[i, : d.size], d), i
 
+    # body_off route: the UNSHIFTED stream + per-row offsets must decode
+    # identically (this is the production TPU path — no alignment walk)
+    grid2 = rans_o1_decode_pallas(
+        stream, jnp.asarray(states), jnp.asarray(dl), S_b,
+        tabs["cmap_pad"], tabs["coarse"], tabs["planes4"], Smax, K,
+        interpret=True, body_off=base + 4 + 4 * K,
+    )
+    out2 = np.asarray(_ungrid(grid2, S_b, jnp.asarray(dl), K, Smax, N))
+    for i, d in enumerate(datas):
+        assert np.array_equal(out2[i, : d.size], d), i
+
 
 def test_encode_core_kernel_interpret(tabs):
     """Pallas encode state walk == the XLA loop (v3 path, interpret)."""
