@@ -86,7 +86,14 @@ def make_o1_tables(freq_tab: np.ndarray) -> dict:
     for q in range(4):
         planes4[q::4, :64] = v[:, 64 * q : 64 * q + 64] >> 6
         planes4[q::4, 64:] = v[:, 64 * q : 64 * q + 64] & 63
+    # full-row 6-bit planes: one-hot over the cluster alone materializes
+    # the whole 256-sym cum row (cheaper one-hot + no coarse gathers than
+    # the round-2 quarter split; measured 57 vs 72 ms at [256, 64Ki])
+    planes_full = np.zeros((r, 512), np.int64)
+    planes_full[:, :256] = v >> 6
+    planes_full[:, 256:] = v & 63
     return dict(
+        planes_full=jnp.asarray(planes_full, jnp.bfloat16),
         flat_f=jnp.asarray(ft.reshape(-1), jnp.int32),
         flat_c=jnp.asarray(c_lo.reshape(-1), jnp.int32),
         cum_ext=jnp.asarray(cum, jnp.int32),
@@ -266,7 +273,7 @@ def rans_o1_decode_batch(stream, base_off, dlen, tabs, N: int,
             # [256, 90K] in round 2)
             grid = rans_o1_decode_pallas(
                 stream, states.astype(jnp.int32), dlen,
-                S_b, tabs["cmap_pad"], tabs["coarse"], tabs["planes4"],
+                S_b, tabs["cmap_pad"], tabs["coarse"], tabs["planes_full"],
                 Smax, K, rows=rows, body_off=base_off + 4 + 4 * K,
             )
             return _ungrid(grid, S_b, dlen, K, Smax, N)

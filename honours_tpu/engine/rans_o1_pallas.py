@@ -95,6 +95,9 @@ def _fc_kernel(sym_ref, ctx_ref, cmap_ref, fc_tab_ref, out_ref):
         c = ctx[:, b * 128 : (b + 1) * 128]
         cl = _gather_chunks(cm, c, 3)
         idx = cl * 256 + s
+        # NOTE: a per-chunk @pl.when skip (contexts are cluster-skewed)
+        # was tried and is ~10x SLOWER — the scalar any-reduce + branch
+        # per chunk costs far more than the straight predicated pass
         blocks.append(_gather_chunks(tab, idx, 128))
     out_ref[:, :] = jnp.concatenate(blocks, axis=1)
 
@@ -141,17 +144,14 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, off_ref, cmap_ref,
         jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 1)
     ).astype(jnp.float32)
-    ir4 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, r4), 2)
+    irf = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, r4), 2)
     cm = cmap_ref[:, :]        # [3, 128] chunks of cmap[0..256]
-    co = coarse_ref[:, :]      # [3, 128]: cum[cl][64], [128], [192]
     dlen = dlen_ref[:, 0:1]
     sb = sb_ref[:, 0:1]
     kz = jnp.zeros((rr, 128 - Kc), jnp.int32)
 
     def pad_k(a):
         return jnp.concatenate([a, kz], axis=1)
-
-    co_b = [jnp.broadcast_to(co[j : j + 1, :], (rr, 128)) for j in range(3)]
 
     for q in range(rr):
         ptr_ref[q] = 0
@@ -163,37 +163,28 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, off_ref, cmap_ref,
             active = (t < sb) & ((lanes * sb + t) < dlen)
         x = states
         slot = x & (M - 1)
-        # quarter from 3 gathered coarse boundaries
-        clp = pad_k(cl)
-        b1 = _taa(co_b[0], clp)[:, :Kc]
-        b2 = _taa(co_b[1], clp)[:, :Kc]
-        b3 = _taa(co_b[2], clp)[:, :Kc]
-        q4 = (
-            (slot >= b1).astype(jnp.int32)
-            + (slot >= b2).astype(jnp.int32)
-            + (slot >= b3).astype(jnp.int32)
-        )
-        # one-hot over (cluster, quarter) rows; 6-bit planes -> cum_hi.
-        # The dot runs 2-D [rr*K, r4] x [r4, 128] so Mosaic lowers it to
-        # a clean MXU matmul; only leading dims are reshaped (the minor
-        # dim is unchanged, which is the layout-legal shape cast).
-        oh2 = ((cl * 4 + q4)[:, :, None] == ir4).astype(jnp.bfloat16).reshape(
-            rr * Kc, r4
-        )
-        rows = jnp.dot(
-            oh2, planes_ref[:, :], preferred_element_type=jnp.float32
-        ).reshape(rr, Kc, 128)
-        cumhi1 = rows[:, :, :64] * 64.0 + rows[:, :, 64:]  # cum[s+1]-1, f32
+        # full-row search: one-hot over the CLUSTER alone (r4 = #clusters
+        # rows — 4x narrower one-hot than the round-2 (cluster, quarter)
+        # split) materializes the whole 256-sym cum row as 6-bit planes;
+        # no coarse-boundary gathers, no quarter bookkeeping.  The dot is
+        # 2-D [rr*K, r4] x [r4, 512] (leading-dim-only reshapes).
+        if r4 == 1:  # degenerate order-0 table: the row is a constant,
+            # no one-hot needed — broadcast the combined row in the
+            # comparison itself
+            pr = planes_ref[:, :].astype(jnp.float32)
+            cumhi1 = (pr[0:1, :256] * 64.0 + pr[0:1, 256:])[None]  # [1,1,256]
+        else:
+            oh2 = (cl[:, :, None] == irf).astype(jnp.bfloat16).reshape(
+                rr * Kc, r4
+            )
+            rows = jnp.dot(
+                oh2, planes_ref[:, :], preferred_element_type=jnp.float32
+            ).reshape(rr, Kc, 512)
+            cumhi1 = rows[:, :, :256] * 64.0 + rows[:, :, 256:]  # cum[s+1]-1
         slot_f = slot.astype(jnp.float32)
         ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
-        rank = jnp.sum(ge, axis=-1).astype(jnp.int32)
-        sym = q4 * 64 + rank
-        maxge = jnp.max(ge * (cumhi1 + 1.0), axis=-1).astype(jnp.int32)
-        cbase = jnp.maximum(
-            jnp.where(q4 >= 1, b1, 0),
-            jnp.maximum(jnp.where(q4 >= 2, b2, 0), jnp.where(q4 >= 3, b3, 0)),
-        )
-        c = jnp.maximum(maxge, cbase)
+        sym = jnp.sum(ge, axis=-1).astype(jnp.int32)
+        c = jnp.max(ge * (cumhi1 + 1.0), axis=-1).astype(jnp.int32)
         chi = jnp.min(
             jnp.where(ge > 0.5, 4096.0, cumhi1 + 1.0), axis=-1
         ).astype(jnp.int32)
@@ -362,7 +353,7 @@ def rans_o1_decode_pallas(body, states, dlen, S_b, cmap_pad, coarse, planes4,
     `body_off`), states [B, K] i32, dlen/S_b [B] i32 ->
     lane grid [B, K, Smax] u8.
 
-    cmap_pad [3,128] i32, coarse [3,128] i32, planes4 [4r, 128] bf16 from
+    cmap_pad [3,128] i32, coarse [3,128] i32, planes_full [r, 512] bf16 from
     entropy_o1.make_o1_tables.
     """
     B = body.shape[0]
@@ -376,15 +367,13 @@ def rans_o1_decode_pallas(body, states, dlen, S_b, cmap_pad, coarse, planes4,
 
 def make_o0_dec_tables(cume):
     """Degenerate single-cluster decode tables from a [257] i32 CDF-with-
-    sentinel (engine/entropy._cum_ext): (cmap_pad, coarse, planes4)."""
+    sentinel (engine/entropy._cum_ext): (cmap_pad, coarse, planes_full)."""
     cum_hi = cume[1:257].astype(jnp.int32)  # cum[s+1]
     cmap_pad = jnp.zeros((3, 128), jnp.int32)
     coarse = jnp.zeros((3, 128), jnp.int32)
-    for j in (1, 2, 3):
-        coarse = coarse.at[j - 1, 0].set(cum_hi[64 * j - 1])
-    v = (cum_hi - 1).reshape(4, 64)
-    planes4 = jnp.concatenate([v >> 6, v & 63], axis=1).astype(jnp.bfloat16)
-    return cmap_pad, coarse, planes4
+    v = (cum_hi - 1).reshape(1, 256)
+    planes = jnp.concatenate([v >> 6, v & 63], axis=1).astype(jnp.bfloat16)
+    return cmap_pad, coarse, planes
 
 
 @functools.partial(

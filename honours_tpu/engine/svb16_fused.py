@@ -53,6 +53,21 @@ def _icumsum(x, N: int, mask: int = -1):
     return x
 
 
+def _row_roll(x, amt, left: bool):
+    """Shift each row by its own amount in [0, 128) (Mosaic dynamic-lane
+    stores must be 128-aligned, so the sub-vreg part of a ragged
+    placement happens here as 7 masked roll passes)."""
+    N = x.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        if left:
+            rolled = jnp.where(cols < N - b, pltpu.roll(x, N - b, axis=1), 0)
+        else:
+            rolled = jnp.where(cols >= b, pltpu.roll(x, b, axis=1), 0)
+        x = jnp.where((amt & b) != 0, rolled, x)
+    return x
+
+
 def _encode_kernel(sig_ref, n_ref, out_ref, olen_ref, *, L: int, zd: bool,
                    rr: int):
     KL = L // 8
@@ -103,11 +118,24 @@ def _encode_kernel(sig_ref, n_ref, out_ref, olen_ref, *, L: int, zd: bool,
     (wk,) = _walk_body([wk], L, _nbits(L), 9, True)
     keys = jnp.where((wk & 1) == 1, (wk >> 1) & 0xFF, 0)
 
-    out_ref[:, :] = jnp.zeros((rr, KL + 2 * L), jnp.int32)
+    W = KL + 2 * L + 128
+    out_ref[:, :] = jnp.zeros((rr, W), jnp.int32)
     out_ref[:, 0:KL] = keys[:, :KL]
+    # ragged data placement at byte kl: Mosaic dynamic-lane stores must
+    # be 128-aligned, so shift by kl%128 with masked rolls, then
+    # read-modify-write the aligned window (the head of the window holds
+    # the key area's tail and must survive)
+    data_sh = _row_roll(
+        jnp.concatenate([data, jnp.zeros((rr, 128), jnp.int32)], axis=1),
+        kl & 127, left=False,
+    )
+    colw = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * L + 128), 1)
     for q in range(rr):
-        out_ref[q : q + 1, pl.ds((n_ref[q, 0] + 7) >> 3, 2 * L)] = (
-            data[q : q + 1, :]
+        kl_q = (n_ref[q, 0] + 7) >> 3
+        sl = pl.ds(pl.multiple_of((kl_q >> 7) * 128, 128), 2 * L + 128)
+        cur = out_ref[q : q + 1, sl]
+        out_ref[q : q + 1, sl] = jnp.where(
+            colw >= (kl_q & 127), data_sh[q : q + 1, :], cur
         )
     olen_ref[:, :] = kl + ndata
 
@@ -121,7 +149,7 @@ def svb16_encode_fused(sig, n, zd: bool = True, interpret: bool = False):
     Bp = -(-B // R) * R
     sigp = jnp.pad(sig.astype(jnp.int32), ((0, Bp - B), (0, 0)))
     np_ = jnp.pad(n.astype(jnp.int32), (0, Bp - B))[:, None]
-    W = KL + 2 * L
+    W = KL + 2 * L + 128
     out, olen = pl.pallas_call(
         functools.partial(_encode_kernel, L=L, zd=zd, rr=R),
         out_shape=(
@@ -142,7 +170,7 @@ def svb16_encode_fused(sig, n, zd: bool = True, interpret: bool = False):
         ),
         interpret=interpret,
     )(sigp, np_)
-    return out[:B].astype(jnp.uint8), olen[:B, 0]
+    return out[:B, : KL + 2 * L].astype(jnp.uint8), olen[:B, 0]
 
 
 def _decode_kernel(st_ref, n_ref, out_ref, data_ref, *, L: int, zd: bool,
@@ -156,19 +184,37 @@ def _decode_kernel(st_ref, n_ref, out_ref, data_ref, *, L: int, zd: bool,
     )
     valid = colsL < n
 
-    # key bits -> two/e on the sample grid
-    keys = st_ref[:, 0:KL]
-    krep = jnp.broadcast_to(keys[:, :, None], (rr, KL, 8)).reshape(rr, L)
-    two = jnp.where(valid, (krep >> (colsL & 7)) & 1, 0)
+    # key bits -> two/e on the sample grid.  Mosaic cannot minor-merge a
+    # broadcast ([rr, KL, 8] -> [rr, L]), so the x8 upsample runs as a
+    # static expand walk (key byte j' -> lane 8j', shift 7j') plus a
+    # 7-roll spread that copies each stride-8 byte across its 8 lanes.
+    keys = jnp.concatenate(
+        [st_ref[:, 0:KL], jnp.zeros((rr, L - KL), jnp.int32)], axis=1
+    )
+    wk = jnp.where(
+        colsL < (n + 7) >> 3,
+        ((cols * 7) << 9) | ((keys & 0xFF) << 1) | 1,
+        0,
+    )
+    (wk,) = _walk_body([wk], L, _nbits(L), 9, False)
+    kg = jnp.where((wk & 1) == 1, (wk >> 1) & 0xFF, 0)
+    spread = kg
+    for i in range(1, 8):
+        spread = spread + _roll_right(kg, i, cols)
+    two = jnp.where(valid, (spread >> (colsL & 7)) & 1, 0)
     e_inc = _icumsum(two, L)
     e = e_inc - two
 
-    # align the ragged data area to column 0 (per-row dynamic loads)
+    # align the ragged data area to column 0: 128-aligned dynamic loads
+    # (Mosaic lane-alignment rule), then sub-vreg left roll by kl%128
+    kl = (n + 7) >> 3
     for q in range(rr):
+        kl_q = (n_ref[q, 0] + 7) >> 3
         data_ref[q : q + 1, :] = st_ref[
-            q : q + 1, pl.ds((n_ref[q, 0] + 7) >> 3, 2 * L)
+            q : q + 1,
+            pl.ds(pl.multiple_of((kl_q >> 7) * 128, 128), 2 * L + 128),
         ]
-    data = data_ref[:, :]
+    data = _row_roll(data_ref[:, :], kl & 127, left=True)[:, : 2 * L]
     win16 = data | (_roll_left(data, 1, cols2, 2 * L) << 8)
 
     # field-start indicator m at byte j + e(j): one 1-bit expand walk
@@ -209,7 +255,7 @@ def svb16_decode_fused(stream, n, L: int, zd: bool = True,
     B, M = stream.shape
     KL = L // 8
     Bp = -(-B // R) * R
-    W = KL + 2 * L
+    W = KL + 2 * L + 128
     st = stream.astype(jnp.int32)
     st = (
         jnp.pad(st, ((0, Bp - B), (0, W - M)))
@@ -227,7 +273,7 @@ def svb16_decode_fused(stream, n, L: int, zd: bool = True,
         ],
         out_specs=pl.BlockSpec((R, L), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((R, 2 * L), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((R, 2 * L + 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(100 << 20, R * (18 * L) * 4 * 3))
         ),
