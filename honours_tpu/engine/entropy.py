@@ -268,8 +268,8 @@ def rans_decode_batch(stream, base_off, dlen, freqs, cum, N: int,
             rans_decode_shared_pallas,
         )
 
-        rows = pick_dec_rows(B, N)
-        if B % rows == 0:
+        rows = pick_dec_rows(B, N, Mb)
+        if rows and B % rows == 0:
             # whole stream goes in; the kernel windows start at the
             # per-row body offset (no rowwise alignment shift needed)
             return rans_decode_shared_pallas(

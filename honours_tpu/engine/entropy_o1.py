@@ -58,10 +58,8 @@ def make_o1_tables(freq_tab: np.ndarray) -> dict:
       cmap_pad: [3, 128] i32 cmap as single-vreg gather chunks
       fc_tab: [128, 128] i32 flattened [r, 256] encode values
               f + cum_low * 8192 (gather-route encode lookup)
-      coarse: [3, 128] i32 quarter boundaries cum[cl][64j], j = 1..3
-      planes4: [4r, 128] bf16 6-bit planes of cum_hi-1 per (cluster,
-               quarter): cols 0:64 = (v >> 6), cols 64:128 = (v & 63)
-               (bf16-exact; one-hot matmul materializes one quarter)
+      planes_full: [r, 512] bf16 6-bit planes of cum_hi-1 per cluster
+              (bf16-exact; one-hot matmul materializes the full row)
     """
     ft = np.asarray(freq_tab, dtype=np.int64)
     assert ft.shape == (257, 256) and (ft.sum(axis=1) == M).all()
@@ -78,14 +76,7 @@ def make_o1_tables(freq_tab: np.ndarray) -> dict:
     cmap_pad.reshape(-1)[:257] = cmap.reshape(-1)
     fc_tab = np.zeros((128, 128), np.int64)
     fc_tab.reshape(-1)[: r * 256] = (urows + uclo * 8192).reshape(-1)
-    coarse = np.zeros((3, 128), np.int64)
-    for j in (1, 2, 3):
-        coarse[j - 1, :r] = ucum[:, 64 * j - 1]
     v = ucum - 1  # cum_hi - 1, 12-bit
-    planes4 = np.zeros((4 * r, 128), np.int64)
-    for q in range(4):
-        planes4[q::4, :64] = v[:, 64 * q : 64 * q + 64] >> 6
-        planes4[q::4, 64:] = v[:, 64 * q : 64 * q + 64] & 63
     # full-row 6-bit planes: one-hot over the cluster alone materializes
     # the whole 256-sym cum row (cheaper one-hot + no coarse gathers than
     # the round-2 quarter split; measured 57 vs 72 ms at [256, 64Ki])
@@ -100,8 +91,6 @@ def make_o1_tables(freq_tab: np.ndarray) -> dict:
         cmap=jnp.asarray(cmap.reshape(-1), jnp.int32),
         cmap_pad=jnp.asarray(cmap_pad, jnp.int32),
         fc_tab=jnp.asarray(fc_tab, jnp.int32),
-        coarse=jnp.asarray(coarse, jnp.int32),
-        planes4=jnp.asarray(planes4, jnp.bfloat16),
     )
 
 
@@ -265,15 +254,17 @@ def rans_o1_decode_batch(stream, base_off, dlen, tabs, N: int,
             rans_o1_decode_pallas,
         )
 
-        rows = int(os.environ.get("HTPU_DEC_ROWS", 0)) or pick_dec_rows(B, N)
-        if B % rows == 0:
+        rows = int(os.environ.get("HTPU_DEC_ROWS", 0)) or pick_dec_rows(
+            B, N, Mb
+        )
+        if rows and B % rows == 0:
             # the kernel's windows start at an arbitrary per-row byte
             # offset, so the whole stream goes in as-is (no rowwise
             # body-alignment shift — that pass alone cost ~30 ms at
             # [256, 90K] in round 2)
             grid = rans_o1_decode_pallas(
                 stream, states.astype(jnp.int32), dlen,
-                S_b, tabs["cmap_pad"], tabs["coarse"], tabs["planes_full"],
+                S_b, tabs["cmap_pad"], tabs["planes_full"],
                 Smax, K, rows=rows, body_off=base_off + 4 + 4 * K,
             )
             return _ungrid(grid, S_b, dlen, K, Smax, N)

@@ -46,20 +46,27 @@ RB = 8    # lookup block rows
 CB = 512  # lookup block cols
 
 
-def pick_dec_rows(B: int, N: int) -> int:
+def pick_dec_rows(B: int, N: int, Mb: int | None = None) -> int:
     """Largest rows-per-program that divides B and keeps the block's
-    VMEM (word-packed body ~2N B/row + i32 out ~4N B/row) inside ~100
-    MiB of v5e's 128 MiB VMEM.  The decode step chain is LATENCY-bound
-    (the stripped skeleton runs 17x faster than the full kernel at 32
-    rows), so rows should be as large as memory allows: every extra row
-    pipelines more independent work into the per-step dot/VPU chain."""
+    VMEM (word-packed body + u8 out + working vregs) inside ~100 MiB of
+    v5e's 128 MiB VMEM.  The decode step chain is LATENCY-bound (the
+    stripped skeleton runs 17x faster than the full kernel at 32 rows),
+    so rows should be as large as memory allows: every extra row
+    pipelines more independent work into the per-step dot/VPU chain.
+
+    `Mb` = actual stream width in bytes (the kernel stages the WHOLE
+    stream per row, not just ~2N body bytes); returns 0 when even the
+    smallest block cannot fit, signalling callers to use the XLA path.
+    """
     # rows > 64 explode Mosaic compile time (instruction count scales
     # with vreg count x the 16-step unrolled supergroup) — measured a
     # >20 min compile at rows=256
+    Mp = 2 * max(N, 4096) if Mb is None else ((Mb + 511) // 512) * 512 + 8 * WW
+    per_row = Mp + 3 * max(N, 4096)
     for rows in (64, 32, 16, 8):
-        if B % rows == 0 and rows * 5 * max(N, 4096) <= (88 << 20):
+        if B % rows == 0 and rows * per_row <= (88 << 20):
             return rows
-    return R
+    return R if 8 * per_row <= (88 << 20) else 0
 
 
 def _taa(src_vreg, idx):
@@ -135,7 +142,7 @@ def o1_fc_gather_pallas(sym, ctx, cmap_pad, fc_tab, interpret: bool = False):
 
 
 def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, off_ref, cmap_ref,
-                   coarse_ref, planes_ref, out_ref, ptr_ref, win_ref,
+                   planes_ref, out_ref, ptr_ref, win_ref,
                    *, nsteps: int, K: int, r4: int, order0: bool = False,
                    rr: int = R):
     Kc = K
@@ -272,7 +279,7 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, off_ref, cmap_ref,
     jax.lax.fori_loop(0, nsteps // 16, supergroup, (states, cl0, rel))
 
 
-def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
+def _decode_call(body, states, dlen, S_b, cmap_pad, planes4,
                  Smax: int, K: int, order0: bool, interpret: bool,
                  rows: int = R, body_off=None):
     """Shared launcher -> step-major symbol bytes [B, nsteps16*K].
@@ -314,7 +321,6 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
             pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows, Wout), lambda b: (b, 0),
@@ -337,7 +343,6 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
         S_b.astype(jnp.int32)[:, None],
         body_off.astype(jnp.int32)[:, None],
         cmap_pad,
-        coarse,
         planes4,
     )
     return out, nsteps16
@@ -346,19 +351,19 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, coarse, planes4,
 @functools.partial(
     jax.jit, static_argnames=("Smax", "K", "interpret", "rows")
 )
-def rans_o1_decode_pallas(body, states, dlen, S_b, cmap_pad, coarse, planes4,
+def rans_o1_decode_pallas(body, states, dlen, S_b, cmap_pad, planes4,
                           Smax: int, K: int, interpret: bool = False,
                           rows: int = R, body_off=None):
     """body [B, Mb] u8 (v3 body at column 0, or at per-row byte offset
     `body_off`), states [B, K] i32, dlen/S_b [B] i32 ->
     lane grid [B, K, Smax] u8.
 
-    cmap_pad [3,128] i32, coarse [3,128] i32, planes_full [r, 512] bf16 from
+    cmap_pad [3,128] i32 and planes_full [r, 512] bf16 from
     entropy_o1.make_o1_tables.
     """
     B = body.shape[0]
     byts, nsteps16 = _decode_call(
-        body, states, dlen, S_b, cmap_pad, coarse, planes4, Smax, K,
+        body, states, dlen, S_b, cmap_pad, planes4, Smax, K,
         order0=False, interpret=interpret, rows=rows, body_off=body_off,
     )
     grid = byts.reshape(B, nsteps16, K).transpose(0, 2, 1)[:, :, :Smax]
@@ -367,13 +372,12 @@ def rans_o1_decode_pallas(body, states, dlen, S_b, cmap_pad, coarse, planes4,
 
 def make_o0_dec_tables(cume):
     """Degenerate single-cluster decode tables from a [257] i32 CDF-with-
-    sentinel (engine/entropy._cum_ext): (cmap_pad, coarse, planes_full)."""
+    sentinel (engine/entropy._cum_ext): (cmap_pad, planes_full)."""
     cum_hi = cume[1:257].astype(jnp.int32)  # cum[s+1]
     cmap_pad = jnp.zeros((3, 128), jnp.int32)
-    coarse = jnp.zeros((3, 128), jnp.int32)
     v = (cum_hi - 1).reshape(1, 256)
     planes = jnp.concatenate([v >> 6, v & 63], axis=1).astype(jnp.bfloat16)
-    return cmap_pad, coarse, planes
+    return cmap_pad, planes
 
 
 @functools.partial(
@@ -388,9 +392,9 @@ def rans_decode_shared_pallas(body, states, dlen, cume, N: int, K: int,
     data [B, N] u8 (round-robin lane layout, idx = t*K + lane)."""
     B = body.shape[0]
     nsteps = -(-N // K)
-    cmap_pad, coarse, planes4 = make_o0_dec_tables(cume)
+    cmap_pad, planes4 = make_o0_dec_tables(cume)
     byts, _ = _decode_call(
-        body, states, dlen, jnp.zeros((B,), jnp.int32), cmap_pad, coarse,
+        body, states, dlen, jnp.zeros((B,), jnp.int32), cmap_pad,
         planes4, nsteps, K, order0=True, interpret=interpret, rows=rows,
         body_off=body_off,
     )

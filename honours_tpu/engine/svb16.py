@@ -29,6 +29,10 @@ from honours_tpu.engine.permute import (
 )
 from honours_tpu.transforms.core import jnp_unzigdelta, jnp_zigdelta
 
+import os
+
+_FUSED_ENABLED = os.environ.get("HTPU_SVB16_FUSED", "1") != "0"
+
 
 def _keys_from_bits(two: jnp.ndarray) -> jnp.ndarray:
     """[B, L] 0/1 -> [B, L//8] key bytes, LSB-first per byte."""
@@ -47,13 +51,12 @@ def _interleave2(a, b):
 def _fused():
     """TPU route: the fully-fused Mosaic kernels (svb16_fused.py) — the
     whole codec in one kernel per direction instead of XLA glue around a
-    walk kernel.  Byte-identical streams."""
-    import os
-
-    if os.environ.get("HTPU_SVB16_FUSED", "0") != "1":
-        # default off until the fused kernels' chip parity run flips it
-        return None
-    if jax.default_backend() != "tpu":
+    walk kernel.  Byte-identical streams; chip parity verified round 4
+    (tools/chip_svb16_parity.py: ragged n, L in {4Ki,16Ki,64Ki}, both
+    zd modes; measured 9.4 GB/s enc / 94 GB/s dec at [256, 64Ki] vs
+    4.6/2.5 for the XLA+walk route).  Set HTPU_SVB16_FUSED=0 to force
+    the old route (read once at import)."""
+    if not _FUSED_ENABLED or jax.default_backend() != "tpu":
         return None
     from honours_tpu.engine import svb16_fused
 

@@ -213,7 +213,7 @@ def test_o1_decode_kernel_interpret(tabs):
     body = rowwise_shift_left(stream, base + 4 + 4 * K, w)
     grid = rans_o1_decode_pallas(
         body, jnp.asarray(states), jnp.asarray(dl), S_b,
-        tabs["cmap_pad"], tabs["coarse"], tabs["planes_full"], Smax, K,
+        tabs["cmap_pad"], tabs["planes_full"], Smax, K,
         interpret=True,
     )
     out = np.asarray(_ungrid(grid, S_b, jnp.asarray(dl), K, Smax, N))
@@ -224,7 +224,7 @@ def test_o1_decode_kernel_interpret(tabs):
     # identically (this is the production TPU path — no alignment walk)
     grid2 = rans_o1_decode_pallas(
         stream, jnp.asarray(states), jnp.asarray(dl), S_b,
-        tabs["cmap_pad"], tabs["coarse"], tabs["planes_full"], Smax, K,
+        tabs["cmap_pad"], tabs["planes_full"], Smax, K,
         interpret=True, body_off=base + 4 + 4 * K,
     )
     out2 = np.asarray(_ungrid(grid2, S_b, jnp.asarray(dl), K, Smax, N))

@@ -82,7 +82,7 @@ Smax = -(-L // K)
 ref = None
 for rows in (8, 16, 32):
     f = jax.jit(lambda bb, ss, dd, sb, rows=rows: rans_o1_decode_pallas(
-        bb, ss, dd, sb, tabs["cmap_pad"], tabs["coarse"], tabs["planes4"],
+        bb, ss, dd, sb, tabs["cmap_pad"], tabs["planes_full"],
         Smax, K, rows=rows))
     out, dt = timed(f"decode kernel rows={rows}", lambda: f(body, states, dlen, S_b))
     if ref is None:

@@ -90,7 +90,7 @@ Smax = -(-L // K)
 
 # ---- V1 baseline ----
 f1 = jax.jit(lambda bb, ss, dd, sb: rans_o1_decode_pallas(
-    bb, ss, dd, sb, tabs["cmap_pad"], tabs["coarse"], tabs["planes4"],
+    bb, ss, dd, sb, tabs["cmap_pad"], tabs["planes_full"],
     Smax, K, rows=ROWS))
 ref, _ = timed("V1 quarter rows=32", lambda: f1(body, states, dlen, S_b))
 ref = np.asarray(ref)

@@ -146,8 +146,8 @@ SmaxL = -(-L // K)
 cap = min(Mb, 2 * L + 256)
 bslice = body_dec[:, :cap]
 kern_f = jax.jit(lambda bb, ss, dd, sb: rans_o1_decode_pallas(
-    bb, ss.astype(jnp.int32), dd, sb, tabs["cmap_pad"], tabs["coarse"],
-    tabs["planes4"], SmaxL, K))
+    bb, ss.astype(jnp.int32), dd, sb, tabs["cmap_pad"],
+    tabs["planes_full"], SmaxL, K))
 grid_out, _ = timed("    decode kernel (pallas)",
                     lambda: kern_f(bslice, states_dec, dl2, S_b2))
 
