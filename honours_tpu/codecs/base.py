@@ -63,6 +63,7 @@ def _ensure_loaded():
     _LOADED = True
     # import for registration side effects
     from honours_tpu.codecs import (  # noqa: F401
+        drans,
         dstall,
         exzd,
         flac,

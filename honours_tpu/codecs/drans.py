@@ -1,0 +1,110 @@
+"""drans_vbbe21_zd — self-contained dynamic order-1 rANS (format v5).
+
+Answers the held-out weakness of the canned-table flagships: the stream
+carries its own model with ZERO table bytes.  Lane-grid steps
+t < ceil(S/4) are coded with the canned o1 table; a bucketed order-1
+histogram of those prefix symbols (tables/drans.py) is fitted
+identically by encoder and decoder, and steps t >= ceil(S/4) are coded
+with the fitted table.  In-sample == held-out by construction.
+
+Reference precedents: dynamic Huffman builds its model from the data
+being coded (press/huffman/huffman.c:373-424); the adaptive range
+coders (rcmsenc, press/press.c:6531+) update their model per byte.
+drans does one mid-stream update at a format-defined boundary so both
+sides stay lane-parallel on TPU.
+
+Stream framing (identical to srans2 apart from the body's table rule):
+[zd0:u16][vbbe21 exception block][v5 body].
+
+The BATCH is the compression unit: `drans_press_reads` fits ONE table
+over the prefixes of all reads passed together, and
+`drans_depress_reads` must receive the same grouping.  The registry
+codec presses/depresses single reads (a batch of one), which is always
+self-consistent.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from honours_tpu.codecs.base import Codec, register
+from honours_tpu.codecs.vb import PAYLOAD, exblock_len
+from honours_tpu.kernels.rans import (
+    K_SHARED,
+    o1_dyn_decode_finish,
+    o1_dyn_decode_start,
+    o1_grid,
+    rans_bound,
+    rans_encode_o1_dyn,
+)
+from honours_tpu.tables.drans import fit_freqs, prefix_counts_grid, prefix_steps
+from honours_tpu.tables.o1 import canned_o1_freqs
+from honours_tpu.transforms.core import unzigdelta, zigdelta
+
+
+def drans_press_reads(signals) -> list:
+    """Compress a batch of int16 reads with one shared fitted table."""
+    canned = canned_o1_freqs()
+    pre = []
+    counts = None
+    for sig in signals:
+        zd = zigdelta(np.asarray(sig, dtype=np.int16))
+        vb = PAYLOAD["vbbe21"][0](zd[1:])
+        exlen = exblock_len(vb, 0, "vbbe21")
+        data = np.frombuffer(vb, dtype=np.uint8, offset=exlen)
+        grid, _, S = o1_grid(data)
+        c = prefix_counts_grid(grid, data.size, S)
+        counts = c if counts is None else counts + c
+        pre.append((zd, vb, exlen, data, S))
+    fitted = fit_freqs(counts)
+    out = []
+    for zd, vb, exlen, data, S in pre:
+        body = rans_encode_o1_dyn(data, canned, fitted, prefix_steps(S), S=S)
+        out.append(zd[:1].astype("<u2").tobytes() + vb[:exlen] + body)
+    return out
+
+
+def drans_depress_reads(streams, nins) -> list:
+    """Decompress a batch pressed together by drans_press_reads."""
+    canned = canned_o1_freqs()
+    sts = []
+    counts = None
+    for stream, nin in zip(streams, nins):
+        exlen = exblock_len(stream, 2, "vbbe21")
+        (nex,) = struct.unpack_from("<I", stream, 2)
+        ndata = nin - 1 - nex
+        body = stream[2 + exlen :]
+        S = int(np.frombuffer(body, dtype="<u4", count=1)[0])
+        st = o1_dyn_decode_start(body, ndata, canned, prefix_steps(S))
+        grid = st["out"].reshape(K_SHARED, max(S, 1))[:, :S].astype(np.int64)
+        c = prefix_counts_grid(grid, ndata, S)
+        counts = c if counts is None else counts + c
+        sts.append((st, stream, exlen, nex, nin, S))
+    fitted = fit_freqs(counts)
+    out = []
+    for st, stream, exlen, nex, nin, S in sts:
+        data = o1_dyn_decode_finish(st, fitted, prefix_steps(S))
+        vb = stream[2 : 2 + exlen] + data.tobytes()
+        zd = np.empty(nin, dtype=np.uint16)
+        zd[0] = np.frombuffer(stream, dtype="<u2", count=1)[0]
+        zd[1:] = PAYLOAD["vbbe21"][1](vb, nin - 1)
+        out.append(unzigdelta(zd))
+    return out
+
+
+class DransVbbe21ZdCodec(Codec):
+    name = "drans_vbbe21_zd"
+
+    def bound(self, nin: int) -> int:
+        return 2 + 4 + rans_bound(2 * nin)
+
+    def press(self, signal):
+        return drans_press_reads([signal])[0]
+
+    def depress(self, stream, nin):
+        return drans_depress_reads([stream], [nin])[0]
+
+
+register(DransVbbe21ZdCodec())

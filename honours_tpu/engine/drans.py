@@ -1,0 +1,348 @@
+"""Batched drans (format v5) — self-contained dynamic order-1 rANS.
+
+TPU engine for codecs/drans.py: lane-grid steps t < ceil(S/4) code with
+the canned o1 table, then a bucketed histogram of those prefix symbols
+(fitted identically by encoder and decoder — tables/drans.py) codes the
+remaining steps.  NO table bytes in the stream; in-sample == held-out
+by construction.  Byte-exact with drans_press_reads/drans_depress_reads
+over the same batch grouping.
+
+Encode is one jitted pass per phase with a single walk kernel (the
+table switch lives entirely in the f/c lookup select).  Decode runs the
+o1 Pallas walk twice via its resume handles (rans_o1_pallas: step_lo /
+step_hi / init_cl / final states+ptr outputs) with the host fit in
+between — the only host work is the [58, 256] -> table normalization
+(~60 KB pulled per batch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from honours_tpu.engine.bits import read_u16le, read_u32le, u16le_bytes
+from honours_tpu.engine.entropy_o1 import (
+    _lane_grid,
+    _o1_fc,
+    _ungrid,
+    encode_from_fc,
+    make_o1_tables,
+)
+from honours_tpu.engine.permute import monotone_expand
+from honours_tpu.engine.vbbe21 import (
+    vbbe21_fill_batch,
+    vbbe21_parse_batch,
+    vbbe21_parts_batch,
+)
+from honours_tpu.kernels.rans import CTX0, M, PROB_BITS, RANS_L, K_SHARED
+from honours_tpu.tables.drans import NB, PREFIX_DEN, bucket_of, fit_freqs
+
+U32 = jnp.uint32
+
+
+def make_drans_tables(freq257: np.ndarray) -> dict:
+    """Device tables for a fitted [257, 256] drans table.  The rows are
+    bucket rows (<= NB distinct), recovered by make_o1_tables' np.unique
+    — same structure as the canned table's clusters."""
+    return make_o1_tables(np.asarray(freq257))
+
+
+# ---------------------------------------------------------------------------
+# device histogram (exact integer counts)
+# ---------------------------------------------------------------------------
+
+_HCHUNK = 1 << 17
+
+
+@jax.jit
+def o1_prefix_hist(g3, ctx3, act3, S_b, T0_b):
+    """Histogram (bucket(ctx), sym) over prefix lane-grid positions.
+
+    g3/ctx3 [B, K, Smax] i32, act3 bool, T0_b [B] i32.  Returns
+    [NB, 256] i32, exact (chunked one-hot matmuls; every per-chunk cell
+    count < 2^17 so the f32 accumulation is integer-exact).
+    """
+    B, K, Smax = g3.shape
+    t = jnp.arange(Smax, dtype=jnp.int32)[None, None, :]
+    mask = act3 & (t < T0_b[:, None, None])
+    sym = g3.reshape(-1)
+    bkt = bucket_of(ctx3).reshape(-1)
+    m = mask.reshape(-1)
+    P = sym.shape[0]
+    Pp = -(-P // _HCHUNK) * _HCHUNK
+    sym = jnp.pad(sym, (0, Pp - P))
+    bkt = jnp.pad(bkt, (0, Pp - P))
+    m = jnp.pad(m, (0, Pp - P))
+    i64 = jnp.arange(64, dtype=jnp.int32)
+    i256 = jnp.arange(256, dtype=jnp.int32)
+
+    def body(i, acc):
+        sl = lambda a: jax.lax.dynamic_slice(a, (i * _HCHUNK,), (_HCHUNK,))
+        s, b, mm = sl(sym), sl(bkt), sl(m)
+        ohb = ((b[:, None] == i64[None, :]) & mm[:, None]).astype(jnp.bfloat16)
+        ohs = (s[:, None] == i256[None, :]).astype(jnp.bfloat16)
+        c = jax.lax.dot_general(
+            ohb, ohs, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc + c.astype(jnp.int32)
+
+    counts = jax.lax.fori_loop(
+        0, Pp // _HCHUNK, body, jnp.zeros((64, 256), jnp.int32)
+    )
+    return counts[:NB]
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _enc_grid(data, dlen, K: int):
+    B, N = data.shape
+    Smax = -(-N // K)
+    return _lane_grid(data, dlen, K, Smax)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def rans_o1_dyn_encode_batch(data, dlen, tabs_a, tabs_b, K: int = K_SHARED):
+    """v5 encode: (f, c) select canned (steps < T0) vs fitted tables,
+    then the shared v3 walk.  Byte-exact with rans_encode_o1_dyn."""
+    B, N = data.shape
+    Smax = -(-N // K)
+    g3, ctx3, act3, S_b = _lane_grid(data, dlen, K, Smax)
+    T0_b = -(-S_b // PREFIX_DEN)
+    g, c_ = g3.reshape(B, -1), ctx3.reshape(B, -1)
+    fa, ca = _o1_fc(g, c_, tabs_a)
+    fb, cb = _o1_fc(g, c_, tabs_b)
+    t = jnp.arange(Smax, dtype=jnp.int32)[None, None, :]
+    pre = t < T0_b[:, None, None]
+    f3 = jnp.where(pre, fa.reshape(B, K, Smax), fb.reshape(B, K, Smax))
+    c3 = jnp.where(pre, ca.reshape(B, K, Smax), cb.reshape(B, K, Smax))
+    return encode_from_fc(f3, c3, act3, S_b, K)
+
+
+def press_drans_batch(sig, n, tabs_canned, emax: int = None):
+    """Batched drans_vbbe21_zd encode -> (stream [B, M] u8, len [B]).
+
+    Host-orchestrated: device grid + histogram, ~60 KB host pull for the
+    deterministic table fit, then one jitted encode.  `tabs_canned` from
+    pipeline.canned_o1_device_tables().
+    """
+    from honours_tpu.engine.pipeline import _zd_parts, _assemble_srans
+
+    B, L = sig.shape
+    emax = emax or L
+    zd0, rest = _zd_parts(sig, n)
+    parts = vbbe21_parts_batch(rest, n - 1, emax)
+    data, dlen = parts["data"], parts["data_len"]
+    g3, ctx3, act3, S_b = _enc_grid(data, dlen, K_SHARED)
+    T0_b = -(-S_b // PREFIX_DEN)
+    counts = np.asarray(o1_prefix_hist(g3, ctx3, act3, S_b, T0_b))
+    tabs_fit = make_drans_tables(fit_freqs(counts.astype(np.int64)))
+    body, body_len = rans_o1_dyn_encode_batch(data, dlen, tabs_canned,
+                                              tabs_fit)
+    return _assemble_srans(zd0, parts, body, body_len, emax)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _grid_ctx(grid, S_b, dlen, K: int):
+    """In-lane predecessor contexts of a lane grid (CTX0 at t=0)."""
+    B, K_, T = grid.shape
+    g = grid.astype(jnp.int32)
+    return jnp.concatenate(
+        [jnp.full((B, K_, 1), CTX0, jnp.int32), g[:, :, :-1]], axis=2
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("T", "K"))
+def _xla_walk_phase(body, states, ptr, ctx, cume, S_b, dlen, t_lo, t_hi,
+                    T: int, K: int):
+    """XLA fallback resumable walk: decodes local steps i in [0, T) at
+    global step t_lo + i while t_lo + i < t_hi.  Returns (out [B, K, T],
+    states, ptr, ctx)."""
+    B, Mb = body.shape
+    lanes = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    def body_fn(i, carry):
+        states, ptr, ctx, out = carry
+        t = t_lo[:, None] + i
+        active = (t < t_hi[:, None]) & (
+            (lanes * S_b[:, None] + t) < dlen[:, None]
+        )
+        x = states
+        slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
+        rows = jnp.take(cume, ctx, axis=0)  # [B, K, 257]
+        ge = (slot[:, :, None] >= rows[:, :, 1:]).astype(jnp.int32)
+        sym = ge.sum(axis=2)
+        c = jnp.sum(ge * (rows[:, :, 1:] - rows[:, :, :256]), axis=2)
+        i256 = jnp.arange(256, dtype=jnp.int32)
+        eq = (sym[:, :, None] == i256[None, None, :]).astype(jnp.int32)
+        f = jnp.sum(eq * (rows[:, :, 1:] - rows[:, :, :256]), axis=2)
+        out = jax.lax.dynamic_update_slice(
+            out, sym.astype(jnp.uint8)[:, :, None], (0, 0, i)
+        )
+        newx = f.astype(U32) * (x >> jnp.uint32(PROB_BITS)) + slot.astype(
+            U32
+        ) - c.astype(U32)
+        x = jnp.where(active, newx, x)
+        for _ in range(2):
+            under = active & (x < jnp.uint32(RANS_L))
+            rank = jnp.cumsum(under.astype(jnp.int32), axis=1) - under.astype(
+                jnp.int32
+            )
+            bidx = jnp.clip(ptr[:, None] + rank, 0, Mb - 1)
+            b = jnp.take_along_axis(body, bidx, axis=1).astype(U32)
+            x = jnp.where(under, (x << jnp.uint32(8)) | b, x)
+            ptr = ptr + under.sum(axis=1).astype(jnp.int32)
+        ctx = jnp.where(active, sym, ctx)
+        return x, ptr, ctx, out
+
+    out = jnp.zeros((B, K, T), dtype=jnp.uint8)
+    states, ptr, ctx, out = jax.lax.fori_loop(
+        0, T, body_fn, (states, ptr, ctx, out)
+    )
+    return out, states, ptr, ctx
+
+
+@functools.partial(jax.jit, static_argnames=("Smax", "K", "T2"))
+def _merge_grids(grid1, grid2, T0_b, S_b, Smax: int, K: int, T2: int):
+    """Local phase grids -> global lane grid [B, K, Smax]."""
+    B = grid1.shape[0]
+    g1 = jnp.pad(grid1.astype(jnp.int32),
+                 ((0, 0), (0, 0), (0, Smax - grid1.shape[2])))
+    r2 = grid2.astype(jnp.int32).reshape(B * K, T2)
+    if Smax > T2:
+        r2 = jnp.pad(r2, ((0, 0), (0, Smax - T2)))
+    sh = jnp.repeat(T0_b, K)[:, None]
+    cols = jnp.arange(Smax, dtype=jnp.int32)[None, :]
+    cnt2 = jnp.repeat(S_b - T0_b, K)[:, None]
+    shifted, _ = monotone_expand(
+        r2[:, :Smax], jnp.broadcast_to(sh, (B * K, Smax)),
+        cols < cnt2, Smax,
+    )
+    t3 = jnp.arange(Smax, dtype=jnp.int32)[None, None, :]
+    return jnp.where(
+        t3 < T0_b[:, None, None], g1, shifted.reshape(B, K, Smax)
+    ).astype(jnp.uint8)
+
+
+def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
+    """Batched drans_vbbe21_zd decode -> [B, L] int16.  Must receive the
+    same batch grouping the encoder used (the fit is batch-shared)."""
+    import os
+
+    from honours_tpu.engine.rans_o1_pallas import (
+        pick_dec_rows,
+        rans_o1_decode_resume_pallas,
+    )
+
+    B, Mb = stream.shape
+    K = K_SHARED
+    Smax = -(-L // K)
+    zd0 = read_u16le(stream, jnp.zeros((B,), jnp.int32))
+    parsed = vbbe21_parse_batch(
+        stream, jnp.full((B,), 2, jnp.int32), n - 1, L, emax
+    )
+    base_off = parsed["end_off"]
+    dlen = n - 1 - parsed["nex"]
+    S_b = read_u32le(stream, base_off).astype(jnp.int32)
+    T0_b = -(-S_b // PREFIX_DEN)
+    states = _rd_states(stream, base_off, K)
+    T1 = -(-Smax // PREFIX_DEN)
+    T2 = max(Smax - T1, 1)  # max suffix steps: S-ceil(S/4) nondecreasing
+
+    rows = 0
+    if jax.default_backend() == "tpu":
+        rows = int(os.environ.get("HTPU_DEC_ROWS", 0)) or pick_dec_rows(
+            B, L, Mb
+        )
+    if rows and B % rows == 0:
+        grid1, fst, fptr = rans_o1_decode_resume_pallas(
+            stream, states.astype(jnp.int32), dlen, S_b,
+            tabs_canned["cmap_pad"], tabs_canned["planes_full"], T1, K,
+            jnp.zeros((B,), jnp.int32), T0_b,
+            jnp.broadcast_to(tabs_canned["cmap_pad"][2:3, 0:1], (B, K)),
+            rows=rows, body_off=base_off + 4 + 4 * K,
+        )
+        tabs_fit, cl2 = _fit_from_grid1(grid1, S_b, dlen, T0_b, tabs_canned)
+        grid2, _, _ = rans_o1_decode_resume_pallas(
+            stream, fst, dlen, S_b,
+            tabs_fit["cmap_pad"], tabs_fit["planes_full"], T2, K,
+            T0_b, S_b, cl2, rows=rows, body_off=fptr,
+        )
+    else:
+        from honours_tpu.engine.permute import rowwise_shift_left
+
+        body = rowwise_shift_left(stream, base_off + 4 + 4 * K, Mb)
+        ptr0 = jnp.zeros((B,), jnp.int32)
+        ctx0 = jnp.full((B, K), CTX0, jnp.int32)
+        grid1, st1, ptr1, ctx1 = _xla_walk_phase(
+            body, states, ptr0, ctx0, tabs_canned["cum_ext"], S_b, dlen,
+            jnp.zeros((B,), jnp.int32), T0_b, T1, K,
+        )
+        tabs_fit, _ = _fit_from_grid1(grid1, S_b, dlen, T0_b, tabs_canned)
+        grid2, _, _, _ = _xla_walk_phase(
+            body, st1, ptr1, ctx1, tabs_fit["cum_ext"], S_b, dlen,
+            T0_b, S_b, T2, K,
+        )
+    grid = _merge_grids(grid1, grid2, T0_b, S_b, Smax, K, T2)
+    data = _ungrid(grid, S_b, dlen, K, Smax, L)
+    vals = vbbe21_fill_batch(parsed, data, n - 1, L)
+    from honours_tpu.engine.pipeline import _zd_merge
+
+    return _zd_merge(zd0, vals, n, L)
+
+
+def _fit_from_grid1(grid1, S_b, dlen, T0_b, tabs_canned):
+    """Host fit from the decoded prefix grid; also returns the per-lane
+    resume clusters (cmap[last prefix symbol])."""
+    B, K, T1 = grid1.shape
+    ctx3 = _grid_ctx(grid1, S_b, dlen, K)
+    t = jnp.arange(T1, dtype=jnp.int32)[None, None, :]
+    lanes = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+    act3 = (t < T0_b[:, None, None]) & (
+        (lanes * S_b[:, None, None] + t) < dlen[:, None, None]
+    )
+    counts = np.asarray(
+        o1_prefix_hist(grid1.astype(jnp.int32), ctx3, act3, S_b, T0_b)
+    )
+    freq257 = fit_freqs(counts.astype(np.int64))
+    tabs_fit = make_drans_tables(freq257)
+    # resume contexts: last decoded symbol per lane (t = T0_b - 1);
+    # lanes with no prefix symbols keep CTX0's cluster
+    last = jnp.take_along_axis(
+        grid1.astype(jnp.int32),
+        jnp.clip(T0_b - 1, 0, T1 - 1)[:, None, None].astype(jnp.int32)
+        * jnp.ones((B, K, 1), jnp.int32),
+        axis=2,
+    )[:, :, 0]
+    cmap = tabs_fit["cmap"]
+    has = (T0_b[:, None] > 0) & (
+        (jnp.arange(K, dtype=jnp.int32)[None, :] * S_b[:, None]) < dlen[:, None]
+    )
+    cl2 = jnp.where(
+        has, jnp.take(cmap, jnp.clip(last, 0, 255)), jnp.take(cmap, 256)
+    )
+    return tabs_fit, cl2
+
+
+def _rd_states(stream, base_off, K: int):
+    B, Mb = stream.shape
+    lanes = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    def b(i, off):
+        return jnp.take_along_axis(
+            stream, jnp.clip(off + i, 0, Mb - 1), axis=1
+        ).astype(U32)
+
+    so = base_off[:, None] + 4 + 4 * jnp.broadcast_to(lanes, (B, K))
+    return b(0, so) | (b(1, so) << 8) | (b(2, so) << 16) | (b(3, so) << 24)

@@ -158,6 +158,13 @@ def rans_o1_encode_batch(data, dlen, tabs, K: int = K_SHARED):
         a.reshape(B, K, Smax)
         for a in _o1_fc(g3.reshape(B, -1), ctx3.reshape(B, -1), tabs)
     ]
+    return encode_from_fc(f3, c3, act3, S_b, K)
+
+
+def encode_from_fc(f3, c3, act3, S_b, K: int):
+    """Shared encode tail: (f, c) per lane-grid position -> v3 stream.
+    Also used by the drans (v5) engine, whose f/c mix two tables."""
+    B, K_, Smax = f3.shape
 
     if jax.default_backend() == "tpu" and B % 8 == 0:
         # Pallas state walk (one Mosaic kernel, no XLA while loop)

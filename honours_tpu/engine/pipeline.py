@@ -95,6 +95,19 @@ def _zd_merge(zd0, vals, n, L: int):
 
 
 @functools.partial(jax.jit, static_argnames=("emax",))
+def _assemble_srans(zd0, parts, body, body_len, emax: int):
+    """[zd0][vbbe21 ex block][entropy body] with the shared width bound."""
+    B = zd0.shape[0]
+    segs = (
+        [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32))]
+        + parts["exsegs"]
+        + [(body, body_len)]
+    )
+    total = 2 + 4 + (4 + 4 * emax + 1) + (4 + 2 * emax + 1) + 6 + body.shape[1]
+    return rowwise_concat(segs, total)
+
+
+@functools.partial(jax.jit, static_argnames=("emax",))
 def press_srans2_batch(sig, n, tabs, emax: int = None):
     """Batched srans2_vbbe21_zd (order-1) encode -> (stream, len).
 

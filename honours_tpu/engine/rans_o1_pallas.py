@@ -141,8 +141,9 @@ def o1_fc_gather_pallas(sym, ctx, cmap_pad, fc_tab, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, off_ref, cmap_ref,
-                   planes_ref, out_ref, ptr_ref, win_ref,
+def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
+                   cl0_ref, off_ref, cmap_ref, planes_ref,
+                   out_ref, fst_ref, fptr_ref, ptr_ref, win_ref,
                    *, nsteps: int, K: int, r4: int, order0: bool = False,
                    rr: int = R):
     Kc = K
@@ -155,6 +156,8 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, off_ref, cmap_ref,
     cm = cmap_ref[:, :]        # [3, 128] chunks of cmap[0..256]
     dlen = dlen_ref[:, 0:1]
     sb = sb_ref[:, 0:1]
+    se = se_ref[:, 0:1]        # end step (exclusive); sb for a full walk
+    t0 = t0_ref[:, 0:1]        # start step (resume offset); 0 normally
     kz = jnp.zeros((rr, 128 - Kc), jnp.int32)
 
     def pad_k(a):
@@ -166,8 +169,10 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, off_ref, cmap_ref,
     def step(t, states, cl, win, rel):
         if order0:  # format v2: round-robin lane interleave, no S header
             active = (t * Kc + lanes) < dlen
-        else:       # format v3: block interleave, lane k owns [k*S, k*S+S)
-            active = (t < sb) & ((lanes * sb + t) < dlen)
+        else:       # format v3/v5: block interleave, lane k owns
+            # [k*S, k*S+S); u = global step (resume offset + local)
+            u = t0 + t
+            active = (u < se) & ((lanes * sb + u) < dlen)
         x = states
         slot = x & (M - 1)
         # full-row search: one-hot over the CLUSTER alone (r4 = #clusters
@@ -271,23 +276,38 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, off_ref, cmap_ref,
     if order0:
         cl0 = jnp.zeros((rr, Kc), jnp.int32)
     else:
-        cl0 = _gather_chunks(cm, jnp.full((rr, 128), 256, jnp.int32), 3)[:, :Kc]
+        cl0 = cl0_ref[:, :]  # callers pass cmap[CTX0] for a fresh walk
     # the window machinery handles an arbitrary per-row byte start: rel
     # begins at the body's offset within the (word-packed) stream, so
     # callers need no rowwise pre-shift of the body to column 0
     rel = off_ref[:, 0:1]
-    jax.lax.fori_loop(0, nsteps // 16, supergroup, (states, cl0, rel))
+    states, _cl, rel = jax.lax.fori_loop(
+        0, nsteps // 16, supergroup, (states, cl0, rel)
+    )
+    # resume handles: final states + absolute byte pointer (stream
+    # coords, same basis as off_ref) so a second launch can continue
+    fst_ref[:, :] = states
+    for q in range(rr):
+        fptr_ref[q : q + 1, :] = rel[q : q + 1, :] + ptr_ref[q]
 
 
 def _decode_call(body, states, dlen, S_b, cmap_pad, planes4,
                  Smax: int, K: int, order0: bool, interpret: bool,
-                 rows: int = R, body_off=None):
-    """Shared launcher -> step-major symbol bytes [B, nsteps16*K].
+                 rows: int = R, body_off=None, step_lo=None, step_hi=None,
+                 init_cl=None):
+    """Shared launcher -> (step-major symbol bytes [B, nsteps16*K],
+    nsteps16, final states [B, K], final byte ptr [B]).
 
     `body_off` [B] i32: per-row byte offset of the body inside `body`
     (default 0 = body aligned to column 0).  The kernel's window reloads
     start at that offset, so callers can pass the whole stream instead of
     paying a rowwise shift to align the body first.
+
+    Resume support (format v5 / drans): `step_lo` [B] = first global
+    step this launch decodes (default 0), `step_hi` [B] = end step
+    (default S_b), `init_cl` [B, K] = per-lane context clusters at
+    step_lo (default cmap[CTX0]).  The returned final states/ptr feed
+    the next launch's `states`/`body_off`.
     """
     B, Mb = body.shape
     assert B % rows == 0, B
@@ -296,6 +316,13 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, planes4,
     r4 = planes4.shape[0]
     if body_off is None:
         body_off = jnp.zeros((B,), jnp.int32)
+    if step_lo is None:
+        step_lo = jnp.zeros((B,), jnp.int32)
+    if step_hi is None:
+        step_hi = S_b
+    if init_cl is None:
+        # cmap[CTX0] = flat index 256 = cmap_pad[2, 0]
+        init_cl = jnp.broadcast_to(cmap_pad[2:3, 0:1], (B, K))
     # pack 4 body bytes per i32 word; pad so every window load is in range
     Mp = ((Mb + 511) // 512) * 512 + 4 * WW * 2
     pb = jnp.pad(body, ((0, 0), (0, Mp - Mb))).reshape(B, Mp // 4, 4)
@@ -307,12 +334,16 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, planes4,
     )
     Wout = nsteps16 * K
 
-    out = pl.pallas_call(
+    out, fst, fptr = pl.pallas_call(
         functools.partial(
             _decode_kernel, nsteps=nsteps16, K=K, r4=r4, order0=order0,
             rr=rows,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Wout), jnp.uint8),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Wout), jnp.uint8),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ),
         grid=(B // rows,),
         in_specs=[
             pl.BlockSpec((rows, Mp // 4), lambda b: (b, 0), memory_space=pltpu.VMEM),
@@ -320,11 +351,18 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, planes4,
             pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, Wout), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((rows, Wout), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.SMEM((rows,), jnp.int32),
             pltpu.VMEM((rows, WW), jnp.int32),
@@ -341,11 +379,14 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, planes4,
         states.astype(jnp.int32),
         dlen.astype(jnp.int32)[:, None],
         S_b.astype(jnp.int32)[:, None],
+        step_hi.astype(jnp.int32)[:, None],
+        step_lo.astype(jnp.int32)[:, None],
+        init_cl.astype(jnp.int32),
         body_off.astype(jnp.int32)[:, None],
         cmap_pad,
         planes4,
     )
-    return out, nsteps16
+    return out, nsteps16, fst, fptr[:, 0]
 
 
 @functools.partial(
@@ -362,12 +403,33 @@ def rans_o1_decode_pallas(body, states, dlen, S_b, cmap_pad, planes4,
     entropy_o1.make_o1_tables.
     """
     B = body.shape[0]
-    byts, nsteps16 = _decode_call(
+    byts, nsteps16, _, _ = _decode_call(
         body, states, dlen, S_b, cmap_pad, planes4, Smax, K,
         order0=False, interpret=interpret, rows=rows, body_off=body_off,
     )
     grid = byts.reshape(B, nsteps16, K).transpose(0, 2, 1)[:, :, :Smax]
     return grid.astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Smax", "K", "interpret", "rows")
+)
+def rans_o1_decode_resume_pallas(body, states, dlen, S_b, cmap_pad, planes4,
+                                 Smax: int, K: int, step_lo, step_hi,
+                                 init_cl, interpret: bool = False,
+                                 rows: int = R, body_off=None):
+    """Resumable o1 decode for the drans two-phase walk: decodes global
+    steps [step_lo, step_hi) per row -> (lane grid [B, K, Smax] u8 with
+    this launch's symbols at LOCAL positions 0.., final states [B, K],
+    final absolute byte ptr [B]).  Smax = max steps this launch runs."""
+    B = body.shape[0]
+    byts, nsteps16, fst, fptr = _decode_call(
+        body, states, dlen, S_b, cmap_pad, planes4, Smax, K,
+        order0=False, interpret=interpret, rows=rows, body_off=body_off,
+        step_lo=step_lo, step_hi=step_hi, init_cl=init_cl,
+    )
+    grid = byts.reshape(B, nsteps16, K).transpose(0, 2, 1)[:, :, :Smax]
+    return grid.astype(jnp.uint8), fst, fptr
 
 
 def make_o0_dec_tables(cume):
@@ -393,7 +455,7 @@ def rans_decode_shared_pallas(body, states, dlen, cume, N: int, K: int,
     B = body.shape[0]
     nsteps = -(-N // K)
     cmap_pad, planes4 = make_o0_dec_tables(cume)
-    byts, _ = _decode_call(
+    byts, _, _, _ = _decode_call(
         body, states, dlen, jnp.zeros((B,), jnp.int32), cmap_pad,
         planes4, nsteps, K, order0=True, interpret=interpret, rows=rows,
         body_off=body_off,

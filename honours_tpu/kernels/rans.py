@@ -517,3 +517,149 @@ def rans_decode_o1n(stream: bytes, n: int, tabs: dict,
                     ptr += cnt
             states = x
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# dynamic order-1 rANS with mid-stream table switch (format v5 — drans)
+# ---------------------------------------------------------------------------
+#
+# Same wire framing as v3 ([S:u32 LE][K states u32 LE][shared body]) and
+# the same block-interleaved lane grid, but lane-grid steps
+# t < tables.drans.prefix_steps(S) code with table A (the canned o1
+# model) and steps t >= T0 with table B (fitted on the decoded prefix by
+# tables.drans.fit_freqs — derivable by the decoder, so NO table bytes
+# are stored).  Decode is split into start (prefix steps, table A) and
+# finish (suffix steps, table B) so a batch of reads can share one fit.
+
+
+def _o1_enc_steps(grid, ctx, n, states, freq_tab, cum_tab, t_hi, t_lo, S):
+    """Encode steps t in [t_lo, t_hi) (walked high->low) with one table.
+    Returns (states, byte-groups list in walk order)."""
+    K = grid.shape[0]
+    lanes = np.arange(K)
+    groups = []
+    for t in range(t_hi - 1, t_lo - 1, -1):
+        active = (lanes * S + t) < n
+        sym = grid[:, t]
+        f = np.where(active, freq_tab[ctx[:, t], sym], 1).astype(np.uint64)
+        c = np.where(active, cum_tab[ctx[:, t], sym], 0).astype(np.uint64)
+        x = states.copy()
+        ubound = f * np.uint64((RANS_L >> PROB_BITS) << 8)
+        b1 = (x & np.uint64(0xFF)).astype(np.uint8)
+        over1 = active & (x >= ubound)
+        x = np.where(over1, x >> np.uint64(8), x)
+        b2 = (x & np.uint64(0xFF)).astype(np.uint8)
+        over2 = active & (x >= ubound)
+        x = np.where(over2, x >> np.uint64(8), x)
+        states = np.where(
+            active, (x // f << np.uint64(PROB_BITS)) + (x % f) + c, x
+        )
+        round1 = np.where(over2, b2, b1)[over1]
+        round2 = b1[over2]
+        groups.append(round1.tobytes() + round2.tobytes())
+    return states, groups
+
+
+def o1_grid(data: np.ndarray, K: int = K_SHARED, S: int = None):
+    """Lane grid + in-lane contexts for n bytes: ([K, S], [K, S], S)."""
+    d = np.asarray(data, dtype=np.uint8)
+    n = d.size
+    if S is None:
+        S = -(-n // K) if n else 0
+    dp = np.zeros(K * S, dtype=np.int64)
+    dp[:n] = d
+    grid = dp.reshape(K, S)
+    ctx = np.full((K, S), CTX0, dtype=np.int64)
+    if S > 1:
+        ctx[:, 1:] = grid[:, :-1]
+    return grid, ctx, S
+
+
+def rans_encode_o1_dyn(data: np.ndarray, freq_a: np.ndarray,
+                       freq_b: np.ndarray, T0: int,
+                       K: int = K_SHARED, S: int = None) -> bytes:
+    """v5 encode: steps < T0 with freq_a, >= T0 with freq_b."""
+    grid, ctx, S = o1_grid(data, K, S)
+    n = np.asarray(data).size
+    states = np.full(K, RANS_L, dtype=np.uint64)
+    fa = np.asarray(freq_a, np.int64)
+    fb = np.asarray(freq_b, np.int64)
+    states, g_suf = _o1_enc_steps(
+        grid, ctx, n, states, fb, o1_cum(fb), S, T0, S
+    )
+    states, g_pre = _o1_enc_steps(
+        grid, ctx, n, states, fa, o1_cum(fa), T0, 0, S
+    )
+    groups = g_suf + g_pre
+    groups.reverse()
+    return (
+        np.uint32(S).tobytes()
+        + states.astype("<u4").tobytes()
+        + b"".join(groups)
+    )
+
+
+def _slot_sym_lut(freq_tab: np.ndarray) -> np.ndarray:
+    lut = np.zeros((freq_tab.shape[0], M), dtype=np.uint8)
+    for r in range(freq_tab.shape[0]):
+        lut[r] = np.repeat(np.arange(256, dtype=np.uint8), freq_tab[r])
+    return lut
+
+
+def _o1_dec_steps(st: dict, freq_tab: np.ndarray, t_lo: int, t_hi: int):
+    """Decode steps [t_lo, t_hi) with one table, mutating st in place."""
+    freq_tab = np.asarray(freq_tab, np.int64)
+    cum_tab = o1_cum(freq_tab)
+    slot_sym = _slot_sym_lut(freq_tab)
+    buf, n, S, K = st["buf"], st["n"], st["S"], st["K"]
+    states, ptr, ctx, out = st["states"], st["ptr"], st["ctx"], st["out"]
+    lanes = np.arange(K)
+    for t in range(t_lo, t_hi):
+        active = (lanes * S + t) < n
+        x = states
+        slot = (x & np.uint64(M - 1)).astype(np.int64)
+        sym = slot_sym[ctx, slot].astype(np.int64)
+        out[lanes * S + t] = np.where(active, sym, 0)
+        x = np.where(
+            active,
+            freq_tab[ctx, sym].astype(np.uint64) * (x >> np.uint64(PROB_BITS))
+            + slot.astype(np.uint64)
+            - cum_tab[ctx, sym].astype(np.uint64),
+            x,
+        )
+        for _ in range(2):
+            under = active & (x < np.uint64(RANS_L))
+            cnt = int(under.sum())
+            if cnt:
+                b = buf[ptr : ptr + cnt].astype(np.uint64)
+                x[under] = (x[under] << np.uint64(8)) | b
+                ptr += cnt
+        states = x
+        ctx = np.where(active, sym, ctx)
+    st["states"], st["ptr"], st["ctx"] = states, ptr, ctx
+
+
+def o1_dyn_decode_start(stream: bytes, n: int, freq_a: np.ndarray, T0: int,
+                        K: int = K_SHARED) -> dict:
+    """Decode the prefix steps [0, T0) with freq_a; returns the resume
+    state (st["out"] holds the decoded prefix on the lane grid)."""
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    S = int(np.frombuffer(stream, dtype="<u4", count=1)[0])
+    states = (
+        np.frombuffer(stream, dtype="<u4", count=K, offset=4)
+        .astype(np.uint64)
+        .copy()
+    )
+    st = dict(
+        buf=buf, n=n, S=S, K=K, states=states, ptr=4 + 4 * K,
+        ctx=np.full(K, CTX0, dtype=np.int64),
+        out=np.zeros(K * max(S, 1), dtype=np.uint8),
+    )
+    _o1_dec_steps(st, freq_a, 0, min(T0, S))
+    return st
+
+
+def o1_dyn_decode_finish(st: dict, freq_b: np.ndarray, T0: int) -> np.ndarray:
+    """Decode the suffix steps [T0, S) with freq_b -> data [n]."""
+    _o1_dec_steps(st, freq_b, min(T0, st["S"]), st["S"])
+    return st["out"][: st["n"]]

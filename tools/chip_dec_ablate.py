@@ -1,0 +1,264 @@
+"""Ablation of the o1 decode kernel: remove one piece at a time to find
+where the ~24us/step goes at rows=64.  Variants (all same shapes):
+  full     — production computation
+  nosearch — skip symbol search (sym=slot&255, f=16, c=0)
+  nocl     — search, but cl fixed (skip the cmap gather)
+  norefill — search + cl, but refill bytes = 0 (skip rank dots + window
+             gathers; states still shift)
+  nostore  — full, but skip the output store
+  strip    — skeleton: state mul + fixed refill only
+"""
+import functools
+import sys
+import time
+import os
+
+import numpy as np
+
+sys.path.insert(0, ".")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+import jax
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from honours_tpu.engine.pipeline import canned_o1_device_tables, press_srans2_batch
+from honours_tpu.engine.vbbe21 import vbbe21_parse_batch
+from honours_tpu.engine.bits import read_u32le
+from honours_tpu.engine.permute import rowwise_shift_left
+from honours_tpu.engine.rans_o1_pallas import WW, _gather_chunks, _taa
+from honours_tpu.kernels.rans import M, PROB_BITS, RANS_L, K_SHARED
+from honours_tpu.io.blow5 import read_signals
+
+B, L = 256, 1 << 16
+EMAX = L // 16
+K = K_SHARED
+ROWS = int(os.environ.get("ROWS", "64"))
+
+reads = read_signals("tests/data/three-reads.blow5")
+chunks = []
+for s in reads:
+    for i in range(0, s.size - L + 1, L):
+        chunks.append(s[i:i + L])
+while len(chunks) < B:
+    chunks = chunks + chunks
+sig = jnp.asarray(np.stack(chunks[:B]))
+n = jnp.full((B,), L, jnp.int32)
+NB = B * L * 2
+tabs = canned_o1_device_tables()
+
+x0 = jnp.zeros((), jnp.float32) + 1
+float(x0)
+t0 = time.time()
+for _ in range(5):
+    float(x0 + 1)
+RTT = (time.time() - t0) / 5
+print(f"RTT {RTT*1e3:.1f} ms rows={ROWS}", flush=True)
+
+
+def timed(name, fn, reps=8):
+    t0 = time.time()
+    r = fn()
+    float(jnp.sum(jnp.ravel(jax.tree.leaves(r)[0])[:1].astype(jnp.float32)))
+    print(f"  [{name} compile {time.time()-t0:.0f}s]", flush=True)
+    t0 = time.time()
+    for _ in range(reps):
+        r = fn()
+    float(jnp.sum(jnp.ravel(jax.tree.leaves(r)[0])[:1].astype(jnp.float32)))
+    dt = max((time.time() - t0 - RTT) / reps, 1e-9)
+    print(f"{name:20s} {dt*1e3:8.2f} ms  {NB/dt/1e9:6.2f} GB/s", flush=True)
+    return r, dt
+
+
+stream, slen = press_srans2_batch(sig, n, tabs, EMAX)
+parsed = jax.jit(lambda st: vbbe21_parse_batch(
+    st, jnp.full((B,), 2, jnp.int32), n - 1, L, EMAX))(stream)
+base_off = parsed["end_off"]
+dlen = n - 1 - parsed["nex"]
+Mb = stream.shape[1]
+S_b = read_u32le(stream, base_off).astype(jnp.int32)
+lanes = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+
+def rd_states(st, bo):
+    def b(i, off):
+        return jnp.take_along_axis(st, jnp.clip(off + i, 0, Mb - 1), axis=1).astype(jnp.uint32)
+    so = bo[:, None] + 4 + 4 * jnp.broadcast_to(lanes, (B, K))
+    return (b(0, so) | (b(1, so) << 8) | (b(2, so) << 16) | (b(3, so) << 24)).astype(jnp.int32)
+
+
+states = jax.jit(rd_states)(stream, base_off)
+cap = min(Mb, 2 * L + 256)
+body = jax.jit(lambda st, bo: rowwise_shift_left(st, bo + 4 + 4 * K, Mb))(
+    stream, base_off)[:, :cap]
+Smax = -(-L // K)
+planes_full_j = tabs["planes_full"]
+r4 = planes_full_j.shape[0]
+
+
+def _vkernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref, planes_ref,
+             out_ref, ptr_ref, win_ref, *, nsteps, Kc, rr, variant):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc), 1)
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (Kc, Kc), 1)
+    ).astype(jnp.float32)
+    irf = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, r4), 2)
+    cm = cmap_ref[:, :]
+    dlen = dlen_ref[:, 0:1]
+    sb = sb_ref[:, 0:1]
+    kz = jnp.zeros((rr, 128 - Kc), jnp.int32)
+
+    def pad_k(a):
+        return jnp.concatenate([a, kz], axis=1)
+
+    for q in range(rr):
+        ptr_ref[q] = 0
+
+    search = variant not in ("nosearch", "strip")
+    do_cl = variant not in ("nocl", "nosearch", "strip")
+    refill = variant not in ("norefill", "strip")
+
+    def step(t, states, cl, win, rel):
+        active = (t < sb) & ((lanes * sb + t) < dlen)
+        x = states
+        slot = x & (M - 1)
+        if search:
+            oh2 = (cl[:, :, None] == irf).astype(jnp.bfloat16).reshape(
+                rr * Kc, r4)
+            rows = jnp.dot(oh2, planes_ref[:, :],
+                           preferred_element_type=jnp.float32).reshape(
+                rr, Kc, 512)
+            cumhi1 = rows[:, :, :256] * 64.0 + rows[:, :, 256:]
+            slot_f = slot.astype(jnp.float32)
+            ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
+            sym = jnp.sum(ge, axis=-1).astype(jnp.int32)
+            c = jnp.max(ge * (cumhi1 + 1.0), axis=-1).astype(jnp.int32)
+            chi = jnp.min(
+                jnp.where(ge > 0.5, 4096.0, cumhi1 + 1.0), axis=-1
+            ).astype(jnp.int32)
+            f = chi - c
+        else:
+            sym = slot & 255
+            f = 16
+            c = 0
+        newx = f * (x >> PROB_BITS) + slot - c
+        x = jnp.where(active, newx, x)
+        if do_cl:
+            cl = jnp.where(active, _gather_chunks(cm, pad_k(sym), 2)[:, :Kc], cl)
+
+        need1 = active & (x < RANS_L)
+        need2 = active & (x < (RANS_L >> 8))
+        if refill:
+            f1_ = need1.astype(jnp.float32)
+            f2_ = need2.astype(jnp.float32)
+            rank1 = jax.lax.dot_general(
+                f1_, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            rank2 = jax.lax.dot_general(
+                f2_, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            cnt1 = jnp.sum(need1.astype(jnp.int32), axis=1, keepdims=True)
+            cnt2 = jnp.sum(need2.astype(jnp.int32), axis=1, keepdims=True)
+            idx_a = rel + rank1
+            idx_b = rel + cnt1 + rank2
+            bidx = jnp.concatenate([idx_a, idx_b, kz[:, : 128 - 2 * Kc]], axis=1)
+            bidx = jnp.clip(bidx, 0, 4 * WW - 1)
+            widx = bidx >> 2
+            wlo = widx & 127
+            w = jnp.where(
+                widx < 128, _taa(win[:, :128], wlo), _taa(win[:, 128:], wlo)
+            )
+            byts = (w >> ((bidx & 3) * 8)) & 0xFF
+            b_a = byts[:, :Kc]
+            b_b = byts[:, Kc:2 * Kc]
+            x = jnp.where(need1, (x << 8) | b_a, x)
+            x = jnp.where(need2, (x << 8) | b_b, x)
+            rel = rel + cnt1 + cnt2
+        else:
+            x = jnp.where(need1, (x << 8) | 7, x)
+            x = jnp.where(need2, (x << 8) | 9, x)
+        return x, cl, sym, rel
+
+    rid1 = jax.lax.broadcasted_iota(jnp.int32, (rr, 1), 0)
+
+    def reload(rel):
+        new_rel = jnp.zeros((rr, 1), jnp.int32)
+        for q in range(rr):
+            p = ptr_ref[q] + jnp.sum(rel[q:q + 1, 0:1])
+            base = pl.multiple_of((p >> 9) << 9, 512)
+            ptr_ref[q] = base
+            win_ref[q:q + 1, :] = bodyw_ref[
+                q:q + 1, pl.ds(pl.multiple_of((base >> 9) * 128, 128), WW)
+            ]
+            new_rel = jnp.where(rid1 == q, p - base, new_rel)
+        return new_rel
+
+    def supergroup(sg, carry):
+        states, cl, rel = carry
+        syms = []
+        for gg in range(4):
+            if gg % 2 == 0:
+                rel = reload(rel)
+            win = win_ref[:, :]
+            for j in range(4):
+                states, cl, sym, rel = step(
+                    (sg * 4 + gg) * 4 + j, states, cl, win, rel)
+                syms.append(sym)
+        if variant != "nostore":
+            out_ref[:, pl.ds(pl.multiple_of(sg * 16 * Kc, 16 * Kc), 16 * Kc)] = (
+                jnp.concatenate(syms, axis=1).astype(jnp.uint8))
+        return states, cl, rel
+
+    if variant == "nostore":
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+    states0 = states_ref[:, :]
+    cl0 = _gather_chunks(cm, jnp.full((rr, 128), 256, jnp.int32), 3)[:, :Kc]
+    rel = jnp.zeros((rr, 1), jnp.int32)
+    jax.lax.fori_loop(0, nsteps // 16, supergroup, (states0, cl0, rel))
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def run_variant(body, states, dlen, S_b, variant):
+    Bq, Mbq = body.shape
+    nsteps16 = -(-Smax // 16) * 16
+    Mp = ((Mbq + 511) // 512) * 512 + 4 * WW * 2
+    pb = jnp.pad(body, ((0, 0), (0, Mp - Mbq))).reshape(Bq, Mp // 4, 4)
+    bodyw = (pb[:, :, 0].astype(jnp.int32)
+             | (pb[:, :, 1].astype(jnp.int32) << 8)
+             | (pb[:, :, 2].astype(jnp.int32) << 16)
+             | (pb[:, :, 3].astype(jnp.int32) << 24))
+    Wout = nsteps16 * K
+    return pl.pallas_call(
+        functools.partial(_vkernel, nsteps=nsteps16, Kc=K, rr=ROWS,
+                          variant=variant),
+        out_shape=jax.ShapeDtypeStruct((Bq, Wout), jnp.uint8),
+        grid=(Bq // ROWS,),
+        in_specs=[
+            pl.BlockSpec((ROWS, Mp // 4), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS, Wout), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((ROWS,), jnp.int32),
+                        pltpu.VMEM((ROWS, WW), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(100 << 20,
+                2 * ROWS * (Mp + 4 * Wout) + (4 << 20)))),
+    )(bodyw, states, dlen.astype(jnp.int32)[:, None],
+      S_b.astype(jnp.int32)[:, None], tabs["cmap_pad"], planes_full_j)
+
+
+ref = None
+for v in ("full", "nosearch", "nocl", "norefill", "nostore", "strip"):
+    out, _ = timed(v, lambda v=v: run_variant(body, states, dlen, S_b, v))
+    if v == "full":
+        ref = np.asarray(out)
+    if v == "nostore":
+        pass
