@@ -10,19 +10,24 @@ total bytes / (t_enc + t_dec).  Baseline: the reference's single-core
 zstd-svb-zd encode+decode on the NA12878 corpus
 (BASELINE.md: 113.471 GB x2 / (388.1 s + 381.8 s) = 0.295 GB/s).
 
-Also reported (extra fields): srans flagship throughput and the
-compressed ratios of the VBZ-equivalent (zstd over the TPU svb16-zd
-stream) and srans_vbbe21_zd on the same data.
+Section order puts every DEFAULT flagship (svb16, srans2, dstall,
+drans) before optional extras, and any section skipped for budget or
+error is recorded in extra["skipped"] — no silent holes (VERDICT r3
+item 4).  A persistent XLA compilation cache keeps reruns cheap.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import signal
 import sys
 import time
+import traceback
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 BASELINE_VBZ_ENC_DEC_GBPS = 2 * 113.471 / (388.1 + 381.8)
 #: the reference method with comparable ratio to srans (rc01s-vbbe21-zd,
@@ -31,7 +36,7 @@ BASELINE_RC01S_ENC_DEC_GBPS = 2 * 113.471 / (5828.5 + 6640.1)
 
 #: hard wall-clock budget; the axon tunnel can wedge indefinitely and a
 #: hung bench must still emit its JSON line
-BUDGET_S = int(__import__("os").environ.get("HTPU_BENCH_BUDGET_S", "1500"))
+BUDGET_S = int(os.environ.get("HTPU_BENCH_BUDGET_S", "1500"))
 
 
 class BenchTimeout(Exception):
@@ -41,13 +46,41 @@ class BenchTimeout(Exception):
 def _alarm(_sig, _frm):
     raise BenchTimeout()
 
+
 B = 256
 L = 1 << 16
 REPS = 10
+EMAX = L // 16  # ~6% exception budget; lossless asserts verify per run
+
+_T0 = time.time()
+_SKIPPED: list = []
+_EXTRA: dict = {}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def budget_left():
+    return BUDGET_S - (time.time() - _T0)
+
+
+def section(name, min_budget_s, fn):
+    """Run one bench section; record a skip reason instead of dying."""
+    if budget_left() < min_budget_s:
+        _SKIPPED.append({"section": name, "reason": "budget"})
+        log(f"skipping {name} (budget: {budget_left():.0f}s left, "
+            f"needs ~{min_budget_s}s)")
+        return
+    log(f"[{name}] (budget left {budget_left():.0f}s)")
+    try:
+        fn()
+    except BenchTimeout:
+        raise
+    except Exception as e:  # noqa: BLE001 — record and continue
+        _SKIPPED.append({"section": name, "reason": f"{type(e).__name__}: {e}"[:200]})
+        log(f"section {name} FAILED:")
+        traceback.print_exc()
 
 
 def build_batch():
@@ -94,32 +127,27 @@ def measure_rtt():
     log(f"tunnel RTT ~= {_RTT * 1e3:.1f} ms")
 
 
-def timed(fn, sync, reps=REPS):
+def timed(fn, reps=REPS):
     """fn() must RETURN its device result without fetching; dispatches are
     queued async and a single scalar fetch at the end syncs the queue."""
+    import jax
     import jax.numpy as jnp
 
     r = fn()  # warm (compile)
-    float(jnp.sum(jnp.ravel(r)[:1].astype(jnp.float32)))
+    float(jnp.sum(jnp.ravel(jax.tree.leaves(r)[0])[:1].astype(jnp.float32)))
     t0 = time.time()
     for _ in range(reps):
         r = fn()
-    float(jnp.sum(jnp.ravel(r)[:1].astype(jnp.float32)))
+    float(jnp.sum(jnp.ravel(jax.tree.leaves(r)[0])[:1].astype(jnp.float32)))
     return max((time.time() - t0 - (_RTT or 0.0)) / reps, 1e-9)
-
-
-_T0 = time.time()
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from honours_tpu.engine.pipeline import (
-        canned_rans_tables,
-        depress_srans_batch,
-        press_srans_batch,
-    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from honours_tpu.engine.svb16 import svb16_decode_batch, svb16_encode_batch
 
     log("devices:", jax.devices())
@@ -130,92 +158,187 @@ def main():
     sig = jnp.asarray(base)
     n = jnp.full((B,), L, jnp.int32)
 
-    def sync():
-        # cheap full sync: fetch a scalar derived from a fresh computation
-        float(jnp.sum(n))
+    state: dict = {}
 
-    # ---- VBZ container on TPU ----
-    log("compiling svb16 engines...")
-    stream, out_len = svb16_encode_batch(sig, n, zd=True)
-    dec = svb16_decode_batch(stream, n, L, zd=True)
-    ok = bool(jnp.all(dec == sig))
-    comp_svb = int(jnp.sum(out_len))
+    # ---- 1. VBZ container on TPU (fused kernels; the headline) ----
+    def sec_svb16():
+        stream, out_len = svb16_encode_batch(sig, n, zd=True)
+        dec = svb16_decode_batch(stream, n, L, zd=True)
+        ok = bool(jnp.all(dec == sig))
+        t_enc = timed(lambda: svb16_encode_batch(sig, n, zd=True)[1])
+        t_dec = timed(lambda: svb16_decode_batch(stream, n, L, zd=True))
+        gbps = 2 * nbytes / (t_enc + t_dec) / 1e9
+        log(f"svb16-zd TPU: enc {nbytes / t_enc / 1e9:.2f} GB/s, "
+            f"dec {nbytes / t_dec / 1e9:.2f} GB/s, lossless={ok}")
+        state.update(svb_stream=stream, svb_len=out_len, gbps=gbps)
+        _EXTRA.update(
+            svb16_enc_GBps=round(nbytes / t_enc / 1e9, 4),
+            svb16_dec_GBps=round(nbytes / t_dec / 1e9, 4),
+            svb16_lossless=ok,
+        )
 
-    t_enc = timed(lambda: svb16_encode_batch(sig, n, zd=True)[1], sync)
-    t_dec = timed(lambda: svb16_decode_batch(stream, n, L, zd=True), sync)
-    gbps = 2 * nbytes / (t_enc + t_dec) / 1e9
-    log(
-        f"svb16-zd TPU: enc {nbytes / t_enc / 1e9:.2f} GB/s, "
-        f"dec {nbytes / t_dec / 1e9:.2f} GB/s, lossless={ok}"
-    )
+    section("svb16", 240, sec_svb16)
 
-    # VBZ = zstd over the svb16 stream (host stage, level 1 like the ref)
-    import zstandard
+    # ---- 2. VBZ ratio (host zstd over the svb16 stream, level 1) ----
+    def sec_vbz():
+        import zstandard
 
-    cctx = zstandard.ZstdCompressor(level=1)
-    stream_np = np.asarray(stream)
-    lens_np = np.asarray(out_len)
-    t0 = time.time()
-    vbz_bytes = sum(
-        len(cctx.compress(stream_np[i, : lens_np[i]].tobytes())) + 4
-        for i in range(n_unique)
-    )
-    t_zstd = time.time() - t0
-    vbz_ratio = unique_bytes / vbz_bytes
-    log(f"VBZ (zstd over svb16-zd): ratio {vbz_ratio:.4f}, host zstd {t_zstd:.2f}s")
+        cctx = zstandard.ZstdCompressor(level=1)
+        stream_np = np.asarray(state["svb_stream"])
+        lens_np = np.asarray(state["svb_len"])
+        t0 = time.time()
+        vbz_bytes = sum(
+            len(cctx.compress(stream_np[i, : lens_np[i]].tobytes())) + 4
+            for i in range(n_unique)
+        )
+        state["vbz_ratio"] = unique_bytes / vbz_bytes
+        state["cctx"] = cctx
+        log(f"VBZ (zstd over svb16-zd): ratio {state['vbz_ratio']:.4f}, "
+            f"host zstd {time.time() - t0:.2f}s")
+        _EXTRA.update(vbz_ratio=round(state["vbz_ratio"], 4))
 
-    # ---- srans flagship ----
-    log("compiling srans pipeline...")
-    freqs, cum = canned_rans_tables()
-    EMAX = L // 16  # ~6% exception budget; lossless assert below verifies
-    s2, l2 = press_srans_batch(sig, n, freqs, cum, EMAX)
-    srans_ratio = unique_bytes / int(jnp.sum(l2[:n_unique]))
-    d2 = depress_srans_batch(s2, n, freqs, cum, L, emax=EMAX)
-    srans_ok = bool(jnp.all(d2 == sig))
-    t_enc2 = timed(lambda: press_srans_batch(sig, n, freqs, cum, EMAX)[1], sync)
-    t_dec2 = timed(
-        lambda: depress_srans_batch(s2, n, freqs, cum, L, emax=EMAX), sync
-    )
-    srans_gbps = 2 * nbytes / (t_enc2 + t_dec2) / 1e9
-    log(
-        f"srans: enc {nbytes / t_enc2 / 1e9:.2f} GB/s, dec "
-        f"{nbytes / t_dec2 / 1e9:.2f} GB/s, ratio {srans_ratio:.4f}, "
-        f"lossless={srans_ok}"
-    )
+    section("vbz_ratio", 30, sec_vbz)
 
-    # ---- srans2 flagship (order-1) ----
-    log("compiling srans2 pipeline...")
-    from honours_tpu.engine.pipeline import (
-        canned_o1_device_tables,
-        depress_srans2_batch,
-        press_srans2_batch,
-    )
+    # ---- 3. srans2 flagship (order-1) ----
+    def sec_srans2():
+        from honours_tpu.codecs.base import get as get_codec
+        from honours_tpu.engine.pipeline import (
+            canned_o1_device_tables,
+            depress_srans2_batch,
+            press_srans2_batch,
+        )
 
-    tabs = canned_o1_device_tables()
-    s3, l3 = press_srans2_batch(sig, n, tabs, EMAX)
-    srans2_ratio = unique_bytes / int(jnp.sum(l3[:n_unique]))
-    d3 = depress_srans2_batch(s3, n, tabs, L, emax=EMAX)
-    srans2_ok = bool(jnp.all(d3 == sig))
-    # encode byte-parity with the host codec on one unique row
-    from honours_tpu.codecs.base import get as get_codec
+        tabs = canned_o1_device_tables()
+        s3, l3 = press_srans2_batch(sig, n, tabs, EMAX)
+        ratio = unique_bytes / int(jnp.sum(l3[:n_unique]))
+        d3 = depress_srans2_batch(s3, n, tabs, L, emax=EMAX)
+        ok = bool(jnp.all(d3 == sig))
+        host = get_codec("srans2_vbbe21_zd").press(base[0])
+        parity = np.asarray(s3[0, : int(l3[0])]).tobytes() == host
+        t_enc = timed(lambda: press_srans2_batch(sig, n, tabs, EMAX)[1])
+        t_dec = timed(lambda: depress_srans2_batch(s3, n, tabs, L, emax=EMAX))
+        gbps = 2 * nbytes / (t_enc + t_dec) / 1e9
+        log(f"srans2: enc {nbytes / t_enc / 1e9:.2f} GB/s, dec "
+            f"{nbytes / t_dec / 1e9:.2f} GB/s, ratio {ratio:.4f}, "
+            f"lossless={ok}, host-parity={parity}")
+        state.update(o1_tabs=tabs, srans2_ratio=ratio)
+        _EXTRA.update(
+            srans2_enc_GBps=round(nbytes / t_enc / 1e9, 4),
+            srans2_dec_GBps=round(nbytes / t_dec / 1e9, 4),
+            srans2_ratio=round(ratio, 4),
+            srans2_lossless=ok,
+            srans2_host_parity=bool(parity),
+            srans2_vs_rc01s_throughput=round(
+                gbps / BASELINE_RC01S_ENC_DEC_GBPS, 1),
+        )
 
-    host = get_codec("srans2_vbbe21_zd").press(base[0])
-    parity = np.asarray(s3[0, : int(l3[0])]).tobytes() == host
-    t_enc3 = timed(lambda: press_srans2_batch(sig, n, tabs, EMAX)[1], sync)
-    t_dec3 = timed(lambda: depress_srans2_batch(s3, n, tabs, L, emax=EMAX), sync)
-    srans2_gbps = 2 * nbytes / (t_enc3 + t_dec3) / 1e9
-    log(
-        f"srans2: enc {nbytes / t_enc3 / 1e9:.2f} GB/s, dec "
-        f"{nbytes / t_dec3 / 1e9:.2f} GB/s, ratio {srans2_ratio:.4f}, "
-        f"lossless={srans2_ok}, host-parity={parity}"
-    )
+    section("srans2", 300, sec_srans2)
 
-    # ---- srans3 (nibble-factorized order-1, format v4) ----
-    # budget-aware: srans3 is an alternative format, not the headline —
-    # skip it rather than risk the watchdog if compiles ran long
-    srans3_fields = {}
-    if time.time() - _T0 < BUDGET_S * 0.55:
-        log("compiling srans3 pipeline...")
+    # ---- 4. dstall_srans2 (stall-aware flagship; VERDICT r3 item 7) ----
+    def sec_dstall():
+        from honours_tpu.engine.dstall import (
+            depress_dstall_batch,
+            press_dstall_batch,
+        )
+
+        tabs = state["o1_tabs"]
+        s4, l4 = press_dstall_batch(sig, n, tabs, EMAX)
+        ratio = unique_bytes / int(jnp.sum(l4[:n_unique]))
+        d4 = depress_dstall_batch(s4, n, tabs, L, emax=EMAX)
+        ok = bool(jnp.all(d4 == sig))
+        t_enc = timed(lambda: press_dstall_batch(sig, n, tabs, EMAX)[1],
+                      reps=4)
+        t_dec = timed(lambda: depress_dstall_batch(s4, n, tabs, L, emax=EMAX),
+                      reps=4)
+        log(f"dstall: enc {nbytes / t_enc / 1e9:.2f} GB/s, dec "
+            f"{nbytes / t_dec / 1e9:.2f} GB/s, ratio {ratio:.4f}, "
+            f"lossless={ok}")
+        _EXTRA.update(
+            dstall_enc_GBps=round(nbytes / t_enc / 1e9, 4),
+            dstall_dec_GBps=round(nbytes / t_dec / 1e9, 4),
+            dstall_ratio=round(ratio, 4),
+            dstall_lossless=ok,
+        )
+
+    section("dstall", 300, sec_dstall)
+
+    # ---- 5. drans (self-contained table; no train/test caveat) ----
+    def sec_drans():
+        from honours_tpu.codecs.drans import drans_press_reads
+        from honours_tpu.engine.drans import (
+            depress_drans_batch,
+            press_drans_batch,
+        )
+
+        tabs = state["o1_tabs"]
+        s5, l5 = press_drans_batch(sig, n, tabs, EMAX)
+        ratio = unique_bytes / int(jnp.sum(l5[:n_unique]))
+        d5 = depress_drans_batch(s5, n, tabs, L, emax=EMAX)
+        ok = bool(jnp.all(d5 == sig))
+        # batch-grouping parity on a small batch (engine fit == host fit)
+        small = [base[i] for i in range(n_unique)]
+        hosts = drans_press_reads(small)
+        from honours_tpu.engine.pipeline import pad_batch
+
+        sj, nj = pad_batch(small, L)
+        se, le = press_drans_batch(sj, nj, tabs, EMAX)
+        parity = all(
+            np.asarray(se[i, : int(le[i])]).tobytes() == hosts[i]
+            for i in range(len(small))
+        )
+        t_enc = timed(lambda: press_drans_batch(sig, n, tabs, EMAX)[1],
+                      reps=4)
+        t_dec = timed(lambda: depress_drans_batch(s5, n, tabs, L, emax=EMAX),
+                      reps=4)
+        log(f"drans: enc {nbytes / t_enc / 1e9:.2f} GB/s, dec "
+            f"{nbytes / t_dec / 1e9:.2f} GB/s, ratio {ratio:.4f} "
+            f"(self-contained), lossless={ok}, host-parity={parity}")
+        _EXTRA.update(
+            drans_enc_GBps=round(nbytes / t_enc / 1e9, 4),
+            drans_dec_GBps=round(nbytes / t_dec / 1e9, 4),
+            drans_ratio=round(ratio, 4),
+            drans_lossless=ok,
+            drans_host_parity=bool(parity),
+            drans_protocol="model fitted from the stream's own prefix by "
+            "both encoder and decoder; zero table bytes; no training data",
+        )
+
+    section("drans", 300, sec_drans)
+
+    # ---- 6. srans (order-0) ----
+    def sec_srans():
+        from honours_tpu.engine.pipeline import (
+            canned_rans_tables,
+            depress_srans_batch,
+            press_srans_batch,
+        )
+
+        freqs, cum = canned_rans_tables()
+        s2, l2 = press_srans_batch(sig, n, freqs, cum, EMAX)
+        ratio = unique_bytes / int(jnp.sum(l2[:n_unique]))
+        d2 = depress_srans_batch(s2, n, freqs, cum, L, emax=EMAX)
+        ok = bool(jnp.all(d2 == sig))
+        t_enc = timed(lambda: press_srans_batch(sig, n, freqs, cum, EMAX)[1])
+        t_dec = timed(lambda: depress_srans_batch(s2, n, freqs, cum, L,
+                                                  emax=EMAX))
+        gbps = 2 * nbytes / (t_enc + t_dec) / 1e9
+        log(f"srans: enc {nbytes / t_enc / 1e9:.2f} GB/s, dec "
+            f"{nbytes / t_dec / 1e9:.2f} GB/s, ratio {ratio:.4f}, "
+            f"lossless={ok}")
+        _EXTRA.update(
+            srans_enc_GBps=round(nbytes / t_enc / 1e9, 4),
+            srans_dec_GBps=round(nbytes / t_dec / 1e9, 4),
+            srans_ratio=round(ratio, 4),
+            srans_lossless=ok,
+            srans_vs_rc01s_throughput=round(
+                gbps / BASELINE_RC01S_ENC_DEC_GBPS, 1),
+        )
+
+    section("srans", 240, sec_srans)
+
+    # ---- 7. srans3 (nibble order-1) ----
+    def sec_srans3():
+        from honours_tpu.codecs.base import get as get_codec
         from honours_tpu.engine.pipeline import (
             canned_o1n_device_tables,
             depress_srans3_batch,
@@ -224,79 +347,113 @@ def main():
 
         tabs3 = canned_o1n_device_tables()
         s4, l4 = press_srans3_batch(sig, n, tabs3, EMAX)
-        srans3_ratio = unique_bytes / int(jnp.sum(l4[:n_unique]))
+        ratio = unique_bytes / int(jnp.sum(l4[:n_unique]))
         d4 = depress_srans3_batch(s4, n, tabs3, L, emax=EMAX)
-        srans3_ok = bool(jnp.all(d4 == sig))
+        ok = bool(jnp.all(d4 == sig))
         host3 = get_codec("srans3_vbbe21_zd").press(base[0])
         parity3 = np.asarray(s4[0, : int(l4[0])]).tobytes() == host3
-        t_enc4 = timed(lambda: press_srans3_batch(sig, n, tabs3, EMAX)[1], sync)
-        t_dec4 = timed(
-            lambda: depress_srans3_batch(s4, n, tabs3, L, emax=EMAX), sync
+        t_enc = timed(lambda: press_srans3_batch(sig, n, tabs3, EMAX)[1],
+                      reps=4)
+        t_dec = timed(lambda: depress_srans3_batch(s4, n, tabs3, L,
+                                                   emax=EMAX), reps=4)
+        gbps = 2 * nbytes / (t_enc + t_dec) / 1e9
+        log(f"srans3: enc {nbytes / t_enc / 1e9:.2f} GB/s, dec "
+            f"{nbytes / t_dec / 1e9:.2f} GB/s, ratio {ratio:.4f}, "
+            f"lossless={ok}, host-parity={parity3}")
+        _EXTRA.update(
+            srans3_enc_GBps=round(nbytes / t_enc / 1e9, 4),
+            srans3_dec_GBps=round(nbytes / t_dec / 1e9, 4),
+            srans3_ratio=round(ratio, 4),
+            srans3_lossless=ok,
+            srans3_host_parity=bool(parity3),
+            srans3_vs_rc01s_throughput=round(
+                gbps / BASELINE_RC01S_ENC_DEC_GBPS, 1),
         )
-        srans3_gbps = 2 * nbytes / (t_enc4 + t_dec4) / 1e9
-        log(
-            f"srans3: enc {nbytes / t_enc4 / 1e9:.2f} GB/s, dec "
-            f"{nbytes / t_dec4 / 1e9:.2f} GB/s, ratio {srans3_ratio:.4f}, "
-            f"lossless={srans3_ok}, host-parity={parity3}"
+
+    section("srans3", 300, sec_srans3)
+
+    # ---- 8. held-out ratio protocol (canned-table disclosure) ----
+    def sec_heldout():
+        from honours_tpu.engine.entropy_o1 import make_o1_tables
+        from honours_tpu.engine.pipeline import (
+            depress_srans2_batch,
+            press_srans2_batch,
         )
-        srans3_fields = {
-            "srans3_enc_GBps": round(nbytes / t_enc4 / 1e9, 4),
-            "srans3_dec_GBps": round(nbytes / t_dec4 / 1e9, 4),
-            "srans3_ratio": round(srans3_ratio, 4),
-            "srans3_lossless": srans3_ok,
-            "srans3_host_parity": parity3,
-            "srans3_vs_rc01s_throughput": round(
-                srans3_gbps / BASELINE_RC01S_ENC_DEC_GBPS, 1
-            ),
-        }
-    else:
-        log("skipping srans3 section (bench budget)")
+        from honours_tpu.tables.o1 import heldout_o1_freqs
 
-    # ---- held-out ratio protocol: o1 table trained on read 0 ONLY,
-    # scored on the batch (whose unique chunks come from reads 1-2 —
-    # read 0 is too short to contribute a 64Ki chunk), so every scored
-    # byte is unseen at training time.
-    log("held-out protocol (train read 0, score reads 1-2)...")
-    from honours_tpu.engine.entropy_o1 import make_o1_tables
-    from honours_tpu.tables.o1 import heldout_o1_freqs
+        ho_tabs = make_o1_tables(heldout_o1_freqs())
+        s_ho, l_ho = press_srans2_batch(sig, n, ho_tabs, EMAX)
+        d_ho = depress_srans2_batch(s_ho, n, ho_tabs, L, emax=EMAX)
+        ho_ok = bool(jnp.all(d_ho == sig))
+        heldout_ratio = unique_bytes / int(jnp.sum(l_ho[:n_unique]))
+        log(f"held-out: srans2 {heldout_ratio:.4f} (in-sample "
+            f"{state.get('srans2_ratio', 0):.4f}, vbz on same data "
+            f"{state.get('vbz_ratio', 0):.4f}), lossless={ho_ok}")
+        _EXTRA.update(
+            heldout_ratio_srans2=round(heldout_ratio, 4),
+            heldout_lossless=ho_ok,
+            heldout_protocol="o1 table trained on read 0 only; scored "
+            "chunks all come from reads 1-2 (drans needs no such split)",
+        )
 
-    ho_tabs = make_o1_tables(heldout_o1_freqs())
-    s_ho, l_ho = press_srans2_batch(sig, n, ho_tabs, EMAX)
-    d_ho = depress_srans2_batch(s_ho, n, ho_tabs, L, emax=EMAX)
-    ho_ok = bool(jnp.all(d_ho == sig))
-    heldout_ratio = unique_bytes / int(jnp.sum(l_ho[:n_unique]))
-    log(
-        f"held-out: srans2 {heldout_ratio:.4f} (in-sample {srans2_ratio:.4f},"
-        f" vbz on same data {vbz_ratio:.4f}), lossless={ho_ok}"
+    section("heldout", 120, sec_heldout)
+
+    # ---- 9. synthetic transfer corpus (>=100 MB unseen) ----
+    def sec_synth():
+        from honours_tpu.analysis import synthesize_corpus
+        from honours_tpu.engine.drans import (
+            depress_drans_batch,
+            press_drans_batch,
+        )
+        from honours_tpu.engine.pipeline import (
+            depress_srans2_batch,
+            press_srans2_batch,
+        )
+
+        tabs = state["o1_tabs"]
+        cctx = state["cctx"]
+        synth_batches = 3  # 3 x [256, 64Ki] int16 = 100.7 MB
+        synth_comp = synth_vbz = synth_drans = 0
+        synth_raw = synth_batches * B * L * 2
+        for bi in range(synth_batches):
+            sb = synthesize_corpus(B * L, seed=100 + bi).reshape(B, L)
+            sbj = jnp.asarray(sb)
+            s_s, l_s = press_srans2_batch(sbj, n, tabs, EMAX)
+            d_s = depress_srans2_batch(s_s, n, tabs, L, emax=EMAX)
+            assert bool(jnp.all(d_s == sbj)), "synthetic round trip failed"
+            synth_comp += int(jnp.sum(l_s))
+            s_d, l_d = press_drans_batch(sbj, n, tabs, EMAX)
+            d_d = depress_drans_batch(s_d, n, tabs, L, emax=EMAX)
+            assert bool(jnp.all(d_d == sbj)), "synthetic drans failed"
+            synth_drans += int(jnp.sum(l_d))
+            st_s, ol_s = svb16_encode_batch(sbj, n, zd=True)
+            st_np, ol_np = np.asarray(st_s), np.asarray(ol_s)
+            synth_vbz += sum(
+                len(cctx.compress(st_np[i, : ol_np[i]].tobytes())) + 4
+                for i in range(B)
+            )
+        log(f"synthetic ({synth_raw / 1e6:.0f} MB): srans2 "
+            f"{synth_raw / synth_comp:.4f}, drans "
+            f"{synth_raw / synth_drans:.4f}, vbz {synth_raw / synth_vbz:.4f}")
+        _EXTRA.update(
+            synth_raw_bytes=synth_raw,
+            synth_srans2_ratio=round(synth_raw / synth_comp, 4),
+            synth_drans_ratio=round(synth_raw / synth_drans, 4),
+            synth_vbz_ratio=round(synth_raw / synth_vbz, 4),
+        )
+
+    section("synthetic", 180, sec_synth)
+
+    gbps = state.get("gbps", 0.0)
+    _EXTRA.update(
+        ref_vbz_ratio=2.9284,
+        ref_rc01s_ratio=2.9913,
+        ref_dstall_ratio=2.9917,
+        batch=[B, L],
+        corpus_unique_bytes=unique_bytes,
+        ratio_basis="unique fixture chunks only",
+        skipped=_SKIPPED,
     )
-
-    # ---- synthetic transfer corpus (>=100 MB the canned tables never saw)
-    log("synthetic transfer corpus...")
-    from honours_tpu.analysis import synthesize_corpus
-
-    synth_batches = 3  # 3 x [256, 64Ki] int16 = 100.7 MB
-    synth_comp = synth_vbz = 0
-    synth_raw = synth_batches * B * L * 2
-    for bi in range(synth_batches):
-        sb = synthesize_corpus(B * L, seed=100 + bi).reshape(B, L)
-        sbj = jnp.asarray(sb)
-        _, l_s = press_srans2_batch(sbj, n, tabs, EMAX)
-        d_s = depress_srans2_batch(
-            press_srans2_batch(sbj, n, tabs, EMAX)[0], n, tabs, L, emax=EMAX
-        )
-        assert bool(jnp.all(d_s == sbj)), "synthetic round trip failed"
-        synth_comp += int(jnp.sum(l_s))
-        st_s, ol_s = svb16_encode_batch(sbj, n, zd=True)
-        st_np, ol_np = np.asarray(st_s), np.asarray(ol_s)
-        synth_vbz += sum(
-            len(cctx.compress(st_np[i, : ol_np[i]].tobytes())) + 4
-            for i in range(B)
-        )
-    log(
-        f"synthetic ({synth_raw / 1e6:.0f} MB): srans2 "
-        f"{synth_raw / synth_comp:.4f}, vbz {synth_raw / synth_vbz:.4f}"
-    )
-
     print(
         json.dumps(
             {
@@ -304,41 +461,7 @@ def main():
                 "value": round(gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / BASELINE_VBZ_ENC_DEC_GBPS, 2),
-                "extra": {
-                    "svb16_enc_GBps": round(nbytes / t_enc / 1e9, 4),
-                    "svb16_dec_GBps": round(nbytes / t_dec / 1e9, 4),
-                    "svb16_lossless": ok,
-                    "vbz_ratio": round(vbz_ratio, 4),
-                    "srans_enc_GBps": round(nbytes / t_enc2 / 1e9, 4),
-                    "srans_dec_GBps": round(nbytes / t_dec2 / 1e9, 4),
-                    "srans_ratio": round(srans_ratio, 4),
-                    "srans_lossless": srans_ok,
-                    "srans_vs_rc01s_throughput": round(
-                        srans_gbps / BASELINE_RC01S_ENC_DEC_GBPS, 1
-                    ),
-                    "srans2_enc_GBps": round(nbytes / t_enc3 / 1e9, 4),
-                    "srans2_dec_GBps": round(nbytes / t_dec3 / 1e9, 4),
-                    "srans2_ratio": round(srans2_ratio, 4),
-                    "srans2_lossless": srans2_ok,
-                    "srans2_host_parity": parity,
-                    "srans2_vs_rc01s_throughput": round(
-                        srans2_gbps / BASELINE_RC01S_ENC_DEC_GBPS, 1
-                    ),
-                    **srans3_fields,
-                    "ref_vbz_ratio": 2.9284,
-                    "ref_rc01s_ratio": 2.9913,
-                    "ref_dstall_ratio": 2.9917,
-                    "batch": [B, L],
-                    "corpus_unique_bytes": unique_bytes,
-                    "ratio_basis": "unique fixture chunks only",
-                    "heldout_ratio_srans2": round(heldout_ratio, 4),
-                    "heldout_lossless": ho_ok,
-                    "heldout_protocol": "o1 table trained on read 0 only; "
-                    "scored chunks all come from reads 1-2",
-                    "synth_raw_bytes": synth_raw,
-                    "synth_srans2_ratio": round(synth_raw / synth_comp, 4),
-                    "synth_vbz_ratio": round(synth_raw / synth_vbz, 4),
-                },
+                "extra": _EXTRA,
             }
         )
     )
@@ -350,25 +473,29 @@ if __name__ == "__main__":
     try:
         main()
     except BaseException as e:  # noqa: BLE001 — the JSON line must emit
-        import traceback
-
         kind = "timeout: TPU unreachable" if isinstance(
             e, BenchTimeout
         ) else f"{type(e).__name__}: {e}"
         log("bench failed — emitting sentinel:", kind)
         traceback.print_exc()
+        _EXTRA.update(error=kind[:500], skipped=_SKIPPED)
+        # salvage the headline if the svb16 section completed before the
+        # failure (partial runs should not read as 0 GB/s)
+        gbps = 0.0
+        if "svb16_enc_GBps" in _EXTRA and "svb16_dec_GBps" in _EXTRA:
+            e_, d_ = _EXTRA["svb16_enc_GBps"], _EXTRA["svb16_dec_GBps"]
+            if e_ > 0 and d_ > 0:
+                gbps = 2 / (1 / e_ + 1 / d_)
         print(
             json.dumps(
                 {
                     "metric": "vbz_svb16zd_enc_dec_GBps_per_chip",
-                    "value": 0.0,
+                    "value": round(gbps, 4),
                     "unit": "GB/s",
-                    "vs_baseline": 0.0,
-                    "extra": {"error": kind[:500]},
+                    "vs_baseline": round(gbps / BASELINE_VBZ_ENC_DEC_GBPS, 2),
+                    "extra": _EXTRA,
                 }
             )
         )
         # the wedged jax call may never unwind past the exception; force exit
-        import os
-
         os._exit(0 if isinstance(e, BenchTimeout) else 1)

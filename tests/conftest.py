@@ -15,9 +15,19 @@ if "xla_force_host_platform_device_count" not in flags:
 # The axon TPU plugin pins jax_platforms via jax.config at interpreter
 # start (sitecustomize), so the env var alone is NOT enough — override
 # through jax.config before any backend is initialized.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/htpu_test_xla_cache"
+)
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# the per-module clear_caches below frees executables to keep the XLA
+# compiler alive over the whole suite; the persistent disk cache turns
+# the forced recompiles into cache hits so wall time stays sane
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update(
+    "jax_persistent_cache_min_entry_size_bytes", -1
+)
 
 import pathlib
 

@@ -108,6 +108,7 @@ pf[:, :256] = v >> 6
 pf[:, 256:] = v & 63
 planes_bf = jnp.asarray(pf, jnp.bfloat16)
 planes_f32 = jnp.asarray(v, jnp.float32)  # [r4, 256] cumhi-1 exact
+planes_i8 = jnp.asarray(pf, jnp.int8)  # 6-bit planes fit int8
 
 
 def _vkernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref, planes_ref,
@@ -136,7 +137,74 @@ def _vkernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref, planes_ref,
         active = (t < sb) & ((lanes * sb + t) < dlen)
         x = states
         slot = x & (M - 1)
-        if variant.startswith("f32"):
+        if variant == "dotonly":
+            oh2 = (cl[:, :, None] == irf).astype(jnp.bfloat16).reshape(
+                rr * Kc, r4)
+            rows = jnp.dot(oh2, planes_ref[:, :],
+                           preferred_element_type=jnp.float32).reshape(
+                rr, Kc, 512)
+            sym = rows[:, :, 0].astype(jnp.int32) & 255
+            f = 16
+            c = 0
+        elif variant == "redonly":
+            rows = (slot[:, :, None].astype(jnp.float32)
+                    + jax.lax.broadcasted_iota(
+                        jnp.float32, (rr, Kc, 512), 2))
+            cumhi1 = rows[:, :, :256] * 64.0 + rows[:, :, 256:]
+            slot_f = slot.astype(jnp.float32)
+            ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
+            sym = jnp.sum(ge, axis=-1).astype(jnp.int32) & 255
+            c = jnp.max(ge * (cumhi1 + 1.0), axis=-1).astype(jnp.int32) & 0
+            chi = jnp.min(
+                jnp.where(ge > 0.5, 4096.0, cumhi1 + 1.0), axis=-1
+            ).astype(jnp.int32)
+            f = (chi & 0) + 16
+        elif variant == "symonly":
+            oh2 = (cl[:, :, None] == irf).astype(jnp.bfloat16).reshape(
+                rr * Kc, r4)
+            rows = jnp.dot(oh2, planes_ref[:, :],
+                           preferred_element_type=jnp.float32).reshape(
+                rr, Kc, 512)
+            cumhi1 = rows[:, :, :256] * 64.0 + rows[:, :, 256:]
+            slot_f = slot.astype(jnp.float32)
+            ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
+            sym = jnp.sum(ge, axis=-1).astype(jnp.int32)
+            f = 16
+            c = 0
+        elif variant.startswith("i8"):
+            rr4 = planes_ref.shape[0]
+            irf8 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, rr4), 2)
+            clm = cl if rr4 >= 64 else (cl % rr4)
+            oh8 = (clm[:, :, None] == irf8).astype(jnp.int8).reshape(
+                rr * Kc, rr4)
+            rows = jax.lax.dot_general(
+                oh8, planes_ref[:, :].astype(jnp.int8),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).reshape(rr, Kc, 512)
+            cumhi1i = rows[:, :, :256] * 64 + rows[:, :, 256:]
+            ge_i = (slot[:, :, None] > cumhi1i)
+            sym = jnp.sum(ge_i.astype(jnp.int32), axis=-1)
+            c = jnp.max(jnp.where(ge_i, cumhi1i + 1, 0), axis=-1)
+            chi = jnp.min(jnp.where(ge_i, 4096, cumhi1i + 1), axis=-1)
+            f = chi - c
+        elif variant.startswith("c16"):
+            rr4 = 16
+            irf16 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, rr4), 2)
+            oh16 = ((cl % rr4)[:, :, None] == irf16).astype(
+                jnp.bfloat16).reshape(rr * Kc, rr4)
+            rows = jnp.dot(oh16, planes_ref[:16, :],
+                           preferred_element_type=jnp.float32).reshape(
+                rr, Kc, 512)
+            cumhi1 = rows[:, :, :256] * 64.0 + rows[:, :, 256:]
+            slot_f = slot.astype(jnp.float32)
+            ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
+            sym = jnp.sum(ge, axis=-1).astype(jnp.int32)
+            c = jnp.max(ge * (cumhi1 + 1.0), axis=-1).astype(jnp.int32)
+            chi = jnp.min(
+                jnp.where(ge > 0.5, 4096.0, cumhi1 + 1.0), axis=-1
+            ).astype(jnp.int32)
+            f = chi - c
+        elif variant.startswith("f32"):
             oh = (cl[:, :, None] == irf).astype(jnp.float32).reshape(
                 rr * Kc, r4)
             cumhi1 = jnp.dot(oh, planes_ref[:, :],
@@ -190,7 +258,7 @@ def _vkernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref, planes_ref,
         cnt2 = jnp.sum(need2.astype(jnp.int32), axis=1, keepdims=True)
         idx_a = rel + rank1
         idx_b = rel + cnt1 + rank2
-        if 2 * Kc <= 128:
+        if 2 * Kc < 128:
             bidx = jnp.concatenate([idx_a, idx_b, kz[:, :128 - 2 * Kc]], axis=1)
         else:
             bidx = jnp.concatenate([idx_a, idx_b], axis=1)
@@ -252,8 +320,8 @@ def _vkernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref, planes_ref,
     jax.lax.fori_loop(0, nsteps // 16, supergroup, (states0_, cl0, rel))
 
 
-@functools.partial(jax.jit, static_argnames=("variant", "Kc"))
-def run_variant(body, states, dlen, S_b, variant, Kc):
+@functools.partial(jax.jit, static_argnames=("variant", "Kc", "rr"))
+def run_variant(body, states, dlen, S_b, variant, Kc, rr=ROWS):
     Bq, Mbq = body.shape
     Smax = -(-L // Kc)
     nsteps16 = -(-Smax // 16) * 16
@@ -264,39 +332,34 @@ def run_variant(body, states, dlen, S_b, variant, Kc):
              | (pb[:, :, 2].astype(jnp.int32) << 16)
              | (pb[:, :, 3].astype(jnp.int32) << 24))
     Wout = nsteps16 * Kc
-    planes = planes_f32 if variant.startswith("f32") else planes_bf
-    st = states if Kc == K0 else jnp.concatenate([states, states], axis=1)
+    planes = planes_f32 if variant.startswith("f32") else (
+        planes_i8 if variant.startswith("i8") else planes_bf)
+    st = states if Kc == K0 else jnp.concatenate([states] * (Kc // K0), axis=1)
+    RR = rr
     return pl.pallas_call(
-        functools.partial(_vkernel, nsteps=nsteps16, Kc=Kc, rr=ROWS,
+        functools.partial(_vkernel, nsteps=nsteps16, Kc=Kc, rr=rr,
                           variant=variant),
         out_shape=jax.ShapeDtypeStruct((Bq, Wout), jnp.uint8),
-        grid=(Bq // ROWS,),
+        grid=(Bq // RR,),
         in_specs=[
-            pl.BlockSpec((ROWS, Mp // 4), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, Kc), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RR, Mp // 4), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RR, Kc), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RR, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RR, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROWS, Wout), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((RR, Wout), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((ROWS,), jnp.int32),
-                        pltpu.VMEM((ROWS, WW), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((RR,), jnp.int32),
+                        pltpu.VMEM((RR, WW), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(100 << 20,
-                2 * ROWS * (Mp + 4 * Wout) + (4 << 20)))),
+                2 * RR * (Mp + 4 * Wout) + (4 << 20)))),
     )(bodyw, st, dlen.astype(jnp.int32)[:, None],
       S_b.astype(jnp.int32)[:, None], tabs["cmap_pad"], planes)
 
 
-ref = None
-for v, kc in (("base", 32), ("f32row", 32), ("f32sum", 32),
-              ("wide64", 64), ("f32wide", 64)):
-    name = f"{v}-K{kc}"
-    vv = "base" if v in ("base", "wide64") else ("f32row" if v in ("f32row", "f32wide") else v)
-    out, _ = timed(name, lambda vv=vv, kc=kc: run_variant(body, states0, dlen, S_b, vv, kc))
-    if v == "base":
-        ref = np.asarray(out)
-    if v == "f32row":
-        print("  f32row match:", np.array_equal(ref, np.asarray(out)), flush=True)
+for v in ("dotonly", "redonly", "symonly"):
+    out, _ = timed(v, lambda v=v: run_variant(
+        body, states0, dlen, S_b, v, 32, 64))
