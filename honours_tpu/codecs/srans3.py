@@ -1,13 +1,18 @@
 """srans3_vbbe21_zd (format v4: nibble-factorized order-1 rANS body) —
-the throughput flagship.
+EXPERIMENTAL alternative format, not a flagship.
 
 Same stream skeleton as srans2 ([zd0:u16][vbbe21 exception block][body])
 with the v4 nibble body: each residual byte codes as two 4-bit symbols
 (hi conditioned on the canned o1 context cluster, lo on the clustered
 (cluster, hi) pair — tables/o1n.py, derived deterministically from the
-srans2 table).  Ratio costs +0.33% vs srans2 on the fixture residuals;
-in exchange the TPU decode search is 16-wide instead of 256-wide
-(engine/rans_n4_pallas.py), which is where srans2's decode time went.
+srans2 table).  The design bet was that a 16-wide decode search beats
+srans2's 256-wide one; chip measurements refuted it (r3: 0.20/0.20 GB/s
+vs srans2's 0.80/0.46 — two steps per byte double the serial chain,
+and r4 ablations show the search cost is insensitive to its width, so
+halving the width buys nothing while doubling the steps).  Kept as a
+complete, tested format because the nibble factorization machinery
+(tables/o1n.py cluster derivation, engine/rans_n4_pallas.py) documents
+the measured dead end; ratio also trails srans2 by ~0.33%.
 """
 
 from __future__ import annotations

@@ -55,3 +55,29 @@ def test_size_parity(codec_name, ref_name, tol, fixture_reads):
     assert ours <= ref * tol, (
         f"{codec_name}: ours {ours} vs reference {ref} (tol {tol})"
     )
+
+
+# ---------------------------------------------------------------------------
+# rccdf-class successor gate (VERDICT r3 item 10): the TPU-native
+# static-CDF rANS flagships must compress AT LEAST as well as the
+# reference's whole rccdf family (press/press.c:7309-7721) on the same
+# fixture reads — srans2/drans are rccdf's TPU-native successors
+# (COVERAGE item 7), not just a different trade-off point.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "codec_name,ref_name",
+    [
+        ("srans2_vbbe21_zd", "rccdf_vbe21_zd"),
+        ("srans2_vbbe21_zd", "rccdf_vbbe21_zd"),
+        ("srans2_vbbe21_zd", "rccdf_vbsbe21_zd"),
+        ("srans2_vbbe21_zd", "rccdf_vbsse21_zd"),
+        ("drans_vbbe21_zd", "rccdf_vbbe21_zd"),
+    ],
+)
+def test_rccdf_successor_size_gate(codec_name, ref_name, fixture_reads):
+    codec = registry.get(codec_name)
+    ours = sum(len(codec.press(s)) for s in fixture_reads)
+    ref = sum(SIZES[(ref_name, n)] for n in READS.values())
+    assert ours <= ref, f"{codec_name}: ours {ours} vs {ref_name} {ref}"

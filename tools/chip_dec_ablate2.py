@@ -149,7 +149,7 @@ def _vkernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref, planes_ref,
         elif variant == "redonly":
             rows = (slot[:, :, None].astype(jnp.float32)
                     + jax.lax.broadcasted_iota(
-                        jnp.float32, (rr, Kc, 512), 2))
+                        jnp.int32, (rr, Kc, 512), 2).astype(jnp.float32))
             cumhi1 = rows[:, :, :256] * 64.0 + rows[:, :, 256:]
             slot_f = slot.astype(jnp.float32)
             ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
@@ -171,6 +171,31 @@ def _vkernel(bodyw_ref, states_ref, dlen_ref, sb_ref, cmap_ref, planes_ref,
             sym = jnp.sum(ge, axis=-1).astype(jnp.int32)
             f = 16
             c = 0
+        elif variant == "bf16all":
+            # bf16 dot output (6-bit planes exact), hi/lo plane compare
+            # without the *64 combine, sym summed in bf16 (exact to 256)
+            oh2 = (cl[:, :, None] == irf).astype(jnp.bfloat16).reshape(
+                rr * Kc, r4)
+            rows = jnp.dot(oh2, planes_ref[:, :],
+                           preferred_element_type=jnp.bfloat16).reshape(
+                rr, Kc, 512)
+            ph = rows[:, :, :256]
+            plo = rows[:, :, 256:]
+            sh = (slot >> 6).astype(jnp.bfloat16)[:, :, None]
+            sl = (slot & 63).astype(jnp.bfloat16)[:, :, None]
+            gt = (ph < sh) | ((ph == sh) & (plo < sl))
+            geb = gt.astype(jnp.bfloat16)
+            sym = jnp.sum(geb, axis=-1).astype(jnp.int32)
+            # single-position masks: diff selects sym-1, ohs selects sym
+            cols512 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, 256), 2)
+            diff = geb - jnp.where(cols512 < 255, 0.0, 0.0)  # placeholder
+            c_hi = jnp.max(geb * ph, axis=-1)  # timing-shape proxy
+            c_lo = jnp.max(geb * plo, axis=-1)
+            c = (c_hi.astype(jnp.int32) << 6) | c_lo.astype(jnp.int32)
+            f = jnp.maximum(
+                (jnp.min(jnp.where(gt, jnp.bfloat16(64), ph), axis=-1)
+                 .astype(jnp.int32) << 6), 1) - c
+            f = jnp.maximum(f, 1)
         elif variant.startswith("i8"):
             rr4 = planes_ref.shape[0]
             irf8 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, rr4), 2)
@@ -360,6 +385,6 @@ def run_variant(body, states, dlen, S_b, variant, Kc, rr=ROWS):
       S_b.astype(jnp.int32)[:, None], tabs["cmap_pad"], planes)
 
 
-for v in ("dotonly", "redonly", "symonly"):
+for v in ("redonly", "symonly", "bf16all"):
     out, _ = timed(v, lambda v=v: run_variant(
         body, states0, dlen, S_b, v, 32, 64))
