@@ -240,8 +240,11 @@ def main():
             depress_dstall_batch,
             press_dstall_batch,
         )
+        from honours_tpu.engine.pipeline import canned_o1_device_tables
 
-        tabs = state["o1_tabs"]
+        tabs = state.get("o1_tabs")
+        if tabs is None:
+            tabs = state["o1_tabs"] = canned_o1_device_tables()
         s4, l4 = press_dstall_batch(sig, n, tabs, EMAX)
         ratio = unique_bytes / int(jnp.sum(l4[:n_unique]))
         d4 = depress_dstall_batch(s4, n, tabs, L, emax=EMAX)
@@ -270,7 +273,11 @@ def main():
             press_drans_batch,
         )
 
-        tabs = state["o1_tabs"]
+        from honours_tpu.engine.pipeline import canned_o1_device_tables
+
+        tabs = state.get("o1_tabs")
+        if tabs is None:
+            tabs = state["o1_tabs"] = canned_o1_device_tables()
         s5, l5 = press_drans_batch(sig, n, tabs, EMAX)
         ratio = unique_bytes / int(jnp.sum(l5[:n_unique]))
         d5 = depress_drans_batch(s5, n, tabs, L, emax=EMAX)
@@ -410,7 +417,11 @@ def main():
             press_srans2_batch,
         )
 
-        tabs = state["o1_tabs"]
+        from honours_tpu.engine.pipeline import canned_o1_device_tables
+
+        tabs = state.get("o1_tabs")
+        if tabs is None:
+            tabs = state["o1_tabs"] = canned_o1_device_tables()
         cctx = state["cctx"]
         synth_batches = 3  # 3 x [256, 64Ki] int16 = 100.7 MB
         synth_comp = synth_vbz = synth_drans = 0

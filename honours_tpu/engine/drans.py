@@ -108,10 +108,7 @@ def _enc_grid(data, dlen, K: int):
     return _lane_grid(data, dlen, K, Smax)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def rans_o1_dyn_encode_batch(data, dlen, tabs_a, tabs_b, K: int = K_SHARED):
-    """v5 encode: (f, c) select canned (steps < T0) vs fitted tables,
-    then the shared v3 walk.  Byte-exact with rans_encode_o1_dyn."""
+def _dyn_fc(data, dlen, tabs_a, tabs_b, K: int):
     B, N = data.shape
     Smax = -(-N // K)
     g3, ctx3, act3, S_b = _lane_grid(data, dlen, K, Smax)
@@ -123,7 +120,32 @@ def rans_o1_dyn_encode_batch(data, dlen, tabs_a, tabs_b, K: int = K_SHARED):
     pre = t < T0_b[:, None, None]
     f3 = jnp.where(pre, fa.reshape(B, K, Smax), fb.reshape(B, K, Smax))
     c3 = jnp.where(pre, ca.reshape(B, K, Smax), cb.reshape(B, K, Smax))
+    return f3, c3, act3, S_b
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def rans_o1_dyn_encode_batch(data, dlen, tabs_a, tabs_b, K: int = K_SHARED):
+    """v5 encode: (f, c) select canned (steps < T0) vs fitted tables,
+    then the shared v3 walk.  Byte-exact with rans_encode_o1_dyn."""
+    f3, c3, act3, S_b = _dyn_fc(data, dlen, tabs_a, tabs_b, K)
     return encode_from_fc(f3, c3, act3, S_b, K)
+
+
+@functools.partial(jax.jit, static_argnames=("emax",))
+def _drans_enc_finish(zd0, parts, tabs_a, tabs_b, emax: int):
+    """Dyn-table f/c select + walk + single-walk assembly (the body
+    compaction rides the final concat)."""
+    from honours_tpu.engine.pipeline import _assemble_srans_parts
+
+    f3, c3, act3, S_b = _dyn_fc(
+        parts["data"], parts["data_len"], tabs_a, tabs_b, K_SHARED
+    )
+    segs_body, planew = encode_from_fc(
+        f3, c3, act3, S_b, K_SHARED, parts=True
+    )
+    return _assemble_srans_parts(
+        zd0, parts, segs_body, 4 + 4 * K_SHARED + planew, emax
+    )
 
 
 def press_drans_batch(sig, n, tabs_canned, emax: int = None):
@@ -133,7 +155,7 @@ def press_drans_batch(sig, n, tabs_canned, emax: int = None):
     deterministic table fit, then one jitted encode.  `tabs_canned` from
     pipeline.canned_o1_device_tables().
     """
-    from honours_tpu.engine.pipeline import _zd_parts, _assemble_srans
+    from honours_tpu.engine.pipeline import _zd_parts
 
     B, L = sig.shape
     emax = emax or L
@@ -144,9 +166,7 @@ def press_drans_batch(sig, n, tabs_canned, emax: int = None):
     T0_b = -(-S_b // PREFIX_DEN)
     counts = np.asarray(o1_prefix_hist(g3, ctx3, act3, S_b, T0_b))
     tabs_fit = make_drans_tables(fit_freqs(counts.astype(np.int64)))
-    body, body_len = rans_o1_dyn_encode_batch(data, dlen, tabs_canned,
-                                              tabs_fit)
-    return _assemble_srans(zd0, parts, body, body_len, emax)
+    return _drans_enc_finish(zd0, parts, tabs_canned, tabs_fit, emax)
 
 
 # ---------------------------------------------------------------------------

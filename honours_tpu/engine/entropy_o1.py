@@ -161,9 +161,29 @@ def rans_o1_encode_batch(data, dlen, tabs, K: int = K_SHARED):
     return encode_from_fc(f3, c3, act3, S_b, K)
 
 
-def encode_from_fc(f3, c3, act3, S_b, K: int):
+def rans_o1_encode_parts(data, dlen, tabs, K: int = K_SHARED):
+    """Like rans_o1_encode_batch but returns (segs, plane_width) with a
+    sparse final segment, for callers that fold the body compaction
+    into their own rowwise_concat walk."""
+    B, N = data.shape
+    Smax = -(-N // K)
+    g3, ctx3, act3, S_b = _lane_grid(data, dlen, K, Smax)
+    f3, c3 = [
+        a.reshape(B, K, Smax)
+        for a in _o1_fc(g3.reshape(B, -1), ctx3.reshape(B, -1), tabs)
+    ]
+    return encode_from_fc(f3, c3, act3, S_b, K, parts=True)
+
+
+def encode_from_fc(f3, c3, act3, S_b, K: int, parts: bool = False):
     """Shared encode tail: (f, c) per lane-grid position -> v3 stream.
-    Also used by the drans (v5) engine, whose f/c mix two tables."""
+    Also used by the drans (v5) engine, whose f/c mix two tables.
+
+    With parts=True, returns the body as concat SEGMENTS — the last one
+    sparse (candidate plane + keep mask) — so the caller's
+    rowwise_concat folds the body compaction into its single walk
+    instead of paying a separate full-width compact pass.
+    """
     B, K_, Smax = f3.shape
 
     if jax.default_backend() == "tpu" and B % 8 == 0:
@@ -175,14 +195,17 @@ def encode_from_fc(f3, c3, act3, S_b, K: int):
         fc3 = jnp.where(act3, f3 + c3 * 8192, 0)
         fc = jnp.transpose(fc3, (0, 2, 1)).reshape(B, Smax * K)
         plane, states_i = rans_encode_core_pallas(fc, Smax, K)
-        body_bytes, body_len = monotone_compact(
-            (plane & 255).astype(jnp.uint8), (plane >> 8) == 1
-        )
+        cand = (plane & 255).astype(jnp.uint8)
+        keepm = (plane >> 8) == 1
         segs = [
             (u32le_bytes(S_b), jnp.full((B,), 4, jnp.int32)),
             (_u32le_grid(states_i), jnp.full((B,), 4 * K, jnp.int32)),
-            (body_bytes, body_len),
+            (cand, keepm),
         ]
+        if parts:
+            return segs, cand.shape[1]
+        body_bytes, body_len = monotone_compact(cand, keepm)
+        segs[-1] = (body_bytes, body_len)
         return rowwise_concat(segs, 4 + 4 * K + body_bytes.shape[1])
 
     def body(i, carry):
@@ -220,13 +243,16 @@ def encode_from_fc(f3, c3, act3, S_b, K: int):
 
     cand = jnp.transpose(groups, (1, 0, 2)).reshape(B, Smax * 2 * K)
     keep = jnp.transpose(flags, (1, 0, 2)).reshape(B, Smax * 2 * K)
-    body_bytes, body_len = monotone_compact(cand, keep)
 
     segs = [
         (u32le_bytes(S_b), jnp.full((B,), 4, jnp.int32)),
         (_u32le_grid(states), jnp.full((B,), 4 * K, jnp.int32)),
-        (body_bytes, body_len),
+        (cand, keep),
     ]
+    if parts:
+        return segs, cand.shape[1]
+    body_bytes, body_len = monotone_compact(cand, keep)
+    segs[-1] = (body_bytes, body_len)
     return rowwise_concat(segs, 4 + 4 * K + body_bytes.shape[1])
 
 

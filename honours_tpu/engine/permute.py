@@ -259,11 +259,15 @@ def rowwise_shift_right(buf, shift, width: int, fill=0):
 def rowwise_concat(segments, total_cols: int):
     """Concatenate variable-length row segments without gathers.
 
-    segments: list of (buf [B, Mi] u8, len [B] int32).
+    segments: list of (buf [B, Mi] u8, len [B] int32) — dense prefix
+    segments — or (buf [B, Mi], keep [B, Mi] bool) — SPARSE segments
+    whose kept elements may sit anywhere in the buffer (e.g. an
+    entropy-coder output plane before compaction; folding its
+    compaction into this walk saves a whole full-width pass).
     Returns (out [B, total_cols] u8, total_len [B]).
 
     Concatenation IS a monotone compaction: stack the segment buffers
-    side by side, keep only each segment's first len_i columns, and pack
+    side by side, keep only each segment's selected columns, and pack
     left — ONE walk over the stacked width instead of one log-shift pass
     stack per segment (the round-2 formulation cost ~16 ms of the srans2
     encode at [256, 156K]; the single compact is ~1 ms).
@@ -271,14 +275,19 @@ def rowwise_concat(segments, total_cols: int):
     B = segments[0][0].shape[0]
     bufs, keeps = [], []
     total_len = jnp.zeros((B,), dtype=jnp.int32)
-    for buf, ln in segments:
-        ln = jnp.broadcast_to(jnp.asarray(ln, jnp.int32), (B,))
+    for buf, sel in segments:
         Mi = buf.shape[1]
-        cols = jnp.arange(Mi, dtype=jnp.int32)[None, :]
-        keep = cols < ln[:, None]
+        sel = jnp.asarray(sel)
+        if sel.ndim == 2:  # sparse: explicit keep mask
+            keep = sel
+            total_len = total_len + jnp.sum(keep.astype(jnp.int32), axis=1)
+        else:
+            ln = jnp.broadcast_to(sel.astype(jnp.int32), (B,))
+            cols = jnp.arange(Mi, dtype=jnp.int32)[None, :]
+            keep = cols < ln[:, None]
+            total_len = total_len + ln
         bufs.append(jnp.where(keep, buf, 0))
         keeps.append(keep)
-        total_len = total_len + ln
     cat = jnp.concatenate(bufs, axis=1)
     keep = jnp.concatenate(keeps, axis=1)
     out, _ = monotone_compact(cat, keep)

@@ -107,6 +107,20 @@ def _assemble_srans(zd0, parts, body, body_len, emax: int):
     return rowwise_concat(segs, total)
 
 
+def _assemble_srans_parts(zd0, parts, segs_body, body_width: int, emax: int):
+    """Same as _assemble_srans but the entropy body arrives as concat
+    segments (last one sparse), so its compaction rides THIS walk."""
+    B = zd0.shape[0]
+    segs = (
+        [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32))]
+        + parts["exsegs"]
+        + segs_body
+    )
+    total = (2 + 4 + (4 + 4 * emax + 1) + (4 + 2 * emax + 1) + 6
+             + body_width)
+    return rowwise_concat(segs, total)
+
+
 @functools.partial(jax.jit, static_argnames=("emax",))
 def press_srans2_batch(sig, n, tabs, emax: int = None):
     """Batched srans2_vbbe21_zd (order-1) encode -> (stream, len).
@@ -115,18 +129,18 @@ def press_srans2_batch(sig, n, tabs, emax: int = None):
     Byte-exact with the host codec per row, including ragged lengths
     (the engine emits the same per-row S = ceil(data_len/K) header).
     """
+    from honours_tpu.engine.entropy_o1 import rans_o1_encode_parts
+
     B, L = sig.shape
     emax = emax or L
     zd0, rest = _zd_parts(sig, n)
     parts = vbbe21_parts_batch(rest, n - 1, emax)
-    body, body_len = rans_o1_encode_batch(parts["data"], parts["data_len"], tabs)
-    segs = (
-        [(u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32))]
-        + parts["exsegs"]
-        + [(body, body_len)]
+    segs_body, planew = rans_o1_encode_parts(
+        parts["data"], parts["data_len"], tabs
     )
-    total = 2 + 4 + (4 + 4 * emax + 1) + (4 + 2 * emax + 1) + 6 + body.shape[1]
-    return rowwise_concat(segs, total)
+    return _assemble_srans_parts(
+        zd0, parts, segs_body, 4 + 4 * K_SHARED + planew, emax
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("L", "K", "emax"))

@@ -251,6 +251,14 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
 
     rid1 = jax.lax.broadcasted_iota(jnp.int32, (rr, 1), 0)
 
+    # last legal 512-aligned window base: keep every reload DMA inside
+    # the padded stream block.  Garbage rows happen by design (e.g. the
+    # dstall stall branch parses non-stall rows' bytes as a stream and
+    # discards the result) — their runaway byte pointers must saturate,
+    # not fault the TensorCore with an out-of-bounds DMA.
+    nwords = bodyw_ref.shape[1]
+    base_max = ((nwords - WW) // 128) << 9
+
     def reload(rel):
         # per-row window refresh by DIRECT row copies into the scratch
         # ref — the round-2 jnp.where select per row cost O(rr^2 * WW)
@@ -258,7 +266,9 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
         new_rel = jnp.zeros((rr, 1), jnp.int32)
         for q in range(rr):
             p = ptr_ref[q] + jnp.sum(rel[q : q + 1, 0:1])
-            base = pl.multiple_of((p >> 9) << 9, 512)  # byte base, 512-align
+            base = pl.multiple_of(
+                jnp.minimum((p >> 9) << 9, base_max), 512
+            )  # byte base, 512-aligned, clamped in range
             ptr_ref[q] = base
             win_ref[q : q + 1, :] = bodyw_ref[
                 q : q + 1, pl.ds(pl.multiple_of((base >> 9) * 128, 128), WW)

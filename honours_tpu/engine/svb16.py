@@ -53,8 +53,9 @@ def _fused():
     whole codec in one kernel per direction instead of XLA glue around a
     walk kernel.  Byte-identical streams; chip parity verified round 4
     (tools/chip_svb16_parity.py: ragged n, L in {4Ki,16Ki,64Ki}, both
-    zd modes; measured 9.4 GB/s enc / 94 GB/s dec at [256, 64Ki] vs
-    4.6/2.5 for the XLA+walk route).  Set HTPU_SVB16_FUSED=0 to force
+    zd modes; driver-style measurement at [256, 64Ki]: 10.3 GB/s enc /
+    8.2 GB/s dec vs 6.8/2.8 for the XLA+walk route — decode >= 2.9x and
+    now within ~25% of encode).  Set HTPU_SVB16_FUSED=0 to force
     the old route (read once at import)."""
     if not _FUSED_ENABLED or jax.default_backend() != "tpu":
         return None

@@ -73,10 +73,18 @@ def vbbe21_parts_batch(v: jnp.ndarray, n: jnp.ndarray, emax: int = None):
     ex = (v > 255) & valid
     nex = ex.sum(axis=1).astype(jnp.int32)
 
-    ex_pos_full, _ = monotone_compact(jnp.broadcast_to(pos, v.shape), ex)
-    ex_val_full, _ = monotone_compact(jnp.where(ex, v - 256, 0), ex)
-    ex_pos = ex_pos_full[:, :emax]
-    ex_val = ex_val_full[:, :emax]
+    if L <= (1 << 16):
+        # pos (<=16 bits) and val-256 (<=16 bits) ride ONE compaction
+        # packed in a u32 word instead of two full-width walks
+        comb = jnp.where(ex, (pos | ((v - 256) << 16)), 0)
+        comb_full, _ = monotone_compact(comb, ex)
+        ex_pos = comb_full[:, :emax] & 0xFFFF
+        ex_val = (comb_full[:, :emax] >> 16) & 0xFFFF
+    else:
+        ex_pos_full, _ = monotone_compact(jnp.broadcast_to(pos, v.shape), ex)
+        ex_val_full, _ = monotone_compact(jnp.where(ex, v - 256, 0), ex)
+        ex_pos = ex_pos_full[:, :emax]
+        ex_val = ex_val_full[:, :emax]
     # delta_increasing: out[0]=pos[0], out[i]=pos[i]-pos[i-1]-1
     prev = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), ex_pos[:, :-1]], axis=1)
     pos_delta = (ex_pos - prev - 1).astype(jnp.uint32)

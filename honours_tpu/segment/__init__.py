@@ -127,7 +127,9 @@ def find_stall_batch(sig, n):
         jnp.transpose(valid),
         jnp.arange(L, dtype=jnp.int32)[:, None] * jnp.ones((1, B), jnp.int32),
     )
-    state, _ = jax.lax.scan(step, state0, xs)
+    # unroll amortizes the per-step loop overhead of the 65536-iteration
+    # serial machine (each step is only a few [B]-wide vector ops)
+    state, _ = jax.lax.scan(step, state0, xs, unroll=16)
     nsegs, first_x, first_y = state[5], state[6], state[7]
     exists = nsegs > 0
     start = jnp.where(exists, first_x, 0)
