@@ -279,20 +279,29 @@ def main():
         if tabs is None:
             tabs = state["o1_tabs"] = canned_o1_device_tables()
         s5, l5 = press_drans_batch(sig, n, tabs, EMAX)
-        ratio = unique_bytes / int(jnp.sum(l5[:n_unique]))
         d5 = depress_drans_batch(s5, n, tabs, L, emax=EMAX)
         ok = bool(jnp.all(d5 == sig))
-        # batch-grouping parity on a small batch (engine fit == host fit)
+        # RATIO comes from the unique-chunk batch: tiling the fixture
+        # x85 duplicates the fit counts, which (honestly) degrades the
+        # prefix-fitted model on this corpus — a real file holds each
+        # chunk once, so the unique batch is the representative corpus.
+        # Dummy 1-sample rows pad B to 8 for the Pallas walk branch and
+        # contribute nothing to the shared fit.
         small = [base[i] for i in range(n_unique)]
         hosts = drans_press_reads(small)
         from honours_tpu.engine.pipeline import pad_batch
 
-        sj, nj = pad_batch(small, L)
+        sj, nj = pad_batch(
+            small + [np.zeros(1, np.int16)] * (8 - n_unique), L
+        )
         se, le = press_drans_batch(sj, nj, tabs, EMAX)
         parity = all(
             np.asarray(se[i, : int(le[i])]).tobytes() == hosts[i]
             for i in range(len(small))
         )
+        du = depress_drans_batch(se, nj, tabs, L, emax=EMAX)
+        ok = ok and bool(jnp.all(du == sj))
+        ratio = unique_bytes / int(jnp.sum(le[:n_unique]))
         t_enc = timed(lambda: press_drans_batch(sig, n, tabs, EMAX)[1],
                       reps=4)
         t_dec = timed(lambda: depress_drans_batch(s5, n, tabs, L, emax=EMAX),
@@ -304,10 +313,15 @@ def main():
             drans_enc_GBps=round(nbytes / t_enc / 1e9, 4),
             drans_dec_GBps=round(nbytes / t_dec / 1e9, 4),
             drans_ratio=round(ratio, 4),
+            drans_ratio_tiled=round(
+                unique_bytes / int(jnp.sum(l5[:n_unique])), 4
+            ),
             drans_lossless=ok,
             drans_host_parity=bool(parity),
             drans_protocol="model fitted from the stream's own prefix by "
-            "both encoder and decoder; zero table bytes; no training data",
+            "both encoder and decoder; zero table bytes; no training "
+            "data; ratio measured on the unique-chunk batch (tiled-batch "
+            "fit disclosed as drans_ratio_tiled)",
         )
 
     section("drans", 300, sec_drans)

@@ -148,24 +148,34 @@ def _drans_enc_finish(zd0, parts, tabs_a, tabs_b, emax: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("emax",))
+def _drans_enc_prep(sig, n, emax: int):
+    """One jitted prep pass: transforms + vbbe21 parts + lane grid +
+    prefix histogram.  The only device->host traffic per batch is the
+    [NB, 256] counts pull (the fit itself is host numpy by design)."""
+    from honours_tpu.engine.pipeline import _zd_parts
+
+    zd0, rest = _zd_parts(sig, n)
+    parts = vbbe21_parts_batch(rest, n - 1, emax)
+    g3, ctx3, act3, S_b = _enc_grid(parts["data"], parts["data_len"],
+                                    K_SHARED)
+    T0_b = -(-S_b // PREFIX_DEN)
+    counts = o1_prefix_hist(g3, ctx3, act3, S_b, T0_b)
+    return zd0, parts, counts
+
+
 def press_drans_batch(sig, n, tabs_canned, emax: int = None):
     """Batched drans_vbbe21_zd encode -> (stream [B, M] u8, len [B]).
 
-    Host-orchestrated: device grid + histogram, ~60 KB host pull for the
-    deterministic table fit, then one jitted encode.  `tabs_canned` from
-    pipeline.canned_o1_device_tables().
+    Two jitted passes around the ~60 KB host pull for the deterministic
+    table fit.  `tabs_canned` from pipeline.canned_o1_device_tables().
     """
-    from honours_tpu.engine.pipeline import _zd_parts
-
     B, L = sig.shape
     emax = emax or L
-    zd0, rest = _zd_parts(sig, n)
-    parts = vbbe21_parts_batch(rest, n - 1, emax)
-    data, dlen = parts["data"], parts["data_len"]
-    g3, ctx3, act3, S_b = _enc_grid(data, dlen, K_SHARED)
-    T0_b = -(-S_b // PREFIX_DEN)
-    counts = np.asarray(o1_prefix_hist(g3, ctx3, act3, S_b, T0_b))
-    tabs_fit = make_drans_tables(fit_freqs(counts.astype(np.int64)))
+    zd0, parts, counts = _drans_enc_prep(sig, n, emax)
+    tabs_fit = make_drans_tables(
+        fit_freqs(np.asarray(counts).astype(np.int64))
+    )
     return _drans_enc_finish(zd0, parts, tabs_canned, tabs_fit, emax)
 
 
@@ -255,20 +265,18 @@ def _merge_grids(grid1, grid2, T0_b, S_b, Smax: int, K: int, T2: int):
     ).astype(jnp.uint8)
 
 
-def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
-    """Batched drans_vbbe21_zd decode -> [B, L] int16.  Must receive the
-    same batch grouping the encoder used (the fit is batch-shared)."""
-    import os
-
+@functools.partial(jax.jit, static_argnames=("L", "emax", "rows", "T1"))
+def _drans_dec_phase1(stream, n, tabs_canned, L: int, emax: int, rows: int,
+                      T1: int):
+    """Jitted decode phase 1: parse + prefix walk + histogram.  Returns
+    everything phase 2 needs plus the [NB, 256] counts (the one host
+    pull) and the per-lane last prefix symbols."""
     from honours_tpu.engine.rans_o1_pallas import (
-        pick_dec_rows,
         rans_o1_decode_resume_pallas,
     )
 
     B, Mb = stream.shape
     K = K_SHARED
-    Smax = -(-L // K)
-    zd0 = read_u16le(stream, jnp.zeros((B,), jnp.int32))
     parsed = vbbe21_parse_batch(
         stream, jnp.full((B,), 2, jnp.int32), n - 1, L, emax
     )
@@ -277,15 +285,7 @@ def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
     S_b = read_u32le(stream, base_off).astype(jnp.int32)
     T0_b = -(-S_b // PREFIX_DEN)
     states = _rd_states(stream, base_off, K)
-    T1 = -(-Smax // PREFIX_DEN)
-    T2 = max(Smax - T1, 1)  # max suffix steps: S-ceil(S/4) nondecreasing
-
-    rows = 0
-    if jax.default_backend() == "tpu":
-        rows = int(os.environ.get("HTPU_DEC_ROWS", 0)) or pick_dec_rows(
-            B, L, Mb
-        )
-    if rows and B % rows == 0:
+    if rows:
         grid1, fst, fptr = rans_o1_decode_resume_pallas(
             stream, states.astype(jnp.int32), dlen, S_b,
             tabs_canned["cmap_pad"], tabs_canned["planes_full"], T1, K,
@@ -293,7 +293,56 @@ def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
             jnp.broadcast_to(tabs_canned["cmap_pad"][2:3, 0:1], (B, K)),
             rows=rows, body_off=base_off + 4 + 4 * K,
         )
-        tabs_fit, cl2 = _fit_from_grid1(grid1, S_b, dlen, T0_b, tabs_canned)
+        ctx1 = jnp.zeros((B, K), jnp.int32)  # unused on the kernel route
+    else:
+        from honours_tpu.engine.permute import rowwise_shift_left
+
+        body = rowwise_shift_left(stream, base_off + 4 + 4 * K, Mb)
+        grid1, fst, fptr, ctx1 = _xla_walk_phase(
+            body, states, jnp.zeros((B,), jnp.int32),
+            jnp.full((B, K), CTX0, jnp.int32), tabs_canned["cum_ext"],
+            S_b, dlen, jnp.zeros((B,), jnp.int32), T0_b, T1, K,
+        )
+    ctx3 = _grid_ctx(grid1, S_b, dlen, K)
+    t = jnp.arange(T1, dtype=jnp.int32)[None, None, :]
+    lanes = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+    act3 = (t < T0_b[:, None, None]) & (
+        (lanes * S_b[:, None, None] + t) < dlen[:, None, None]
+    )
+    counts = o1_prefix_hist(grid1.astype(jnp.int32), ctx3, act3, S_b, T0_b)
+    last = jnp.take_along_axis(
+        grid1.astype(jnp.int32),
+        jnp.clip(T0_b - 1, 0, T1 - 1)[:, None, None].astype(jnp.int32)
+        * jnp.ones((B, K, 1), jnp.int32),
+        axis=2,
+    )[:, :, 0]
+    return parsed, dlen, S_b, T0_b, grid1, fst, fptr, ctx1, counts, last
+
+
+@functools.partial(jax.jit, static_argnames=("L", "emax", "rows", "T2"))
+def _drans_dec_phase2(stream, n, parsed, dlen, S_b, T0_b, grid1, fst, fptr,
+                      ctx1, last, tabs_fit, L: int, emax: int, rows: int,
+                      T2: int):
+    """Jitted decode phase 2: suffix walk with the fitted tables, merge,
+    ungrid, vbbe21 fill, zigzag-delta merge."""
+    from honours_tpu.engine.rans_o1_pallas import (
+        rans_o1_decode_resume_pallas,
+    )
+    from honours_tpu.engine.pipeline import _zd_merge
+
+    B, Mb = stream.shape
+    K = K_SHARED
+    Smax = -(-L // K)
+    zd0 = read_u16le(stream, jnp.zeros((B,), jnp.int32))
+    if rows:
+        cmap = tabs_fit["cmap"]
+        has = (T0_b[:, None] > 0) & (
+            (jnp.arange(K, dtype=jnp.int32)[None, :] * S_b[:, None])
+            < dlen[:, None]
+        )
+        cl2 = jnp.where(
+            has, jnp.take(cmap, jnp.clip(last, 0, 255)), jnp.take(cmap, 256)
+        )
         grid2, _, _ = rans_o1_decode_resume_pallas(
             stream, fst, dlen, S_b,
             tabs_fit["cmap_pad"], tabs_fit["planes_full"], T2, K,
@@ -302,57 +351,44 @@ def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
     else:
         from honours_tpu.engine.permute import rowwise_shift_left
 
+        base_off = parsed["end_off"]
         body = rowwise_shift_left(stream, base_off + 4 + 4 * K, Mb)
-        ptr0 = jnp.zeros((B,), jnp.int32)
-        ctx0 = jnp.full((B, K), CTX0, jnp.int32)
-        grid1, st1, ptr1, ctx1 = _xla_walk_phase(
-            body, states, ptr0, ctx0, tabs_canned["cum_ext"], S_b, dlen,
-            jnp.zeros((B,), jnp.int32), T0_b, T1, K,
-        )
-        tabs_fit, _ = _fit_from_grid1(grid1, S_b, dlen, T0_b, tabs_canned)
         grid2, _, _, _ = _xla_walk_phase(
-            body, st1, ptr1, ctx1, tabs_fit["cum_ext"], S_b, dlen,
+            body, fst, fptr, ctx1, tabs_fit["cum_ext"], S_b, dlen,
             T0_b, S_b, T2, K,
         )
     grid = _merge_grids(grid1, grid2, T0_b, S_b, Smax, K, T2)
     data = _ungrid(grid, S_b, dlen, K, Smax, L)
     vals = vbbe21_fill_batch(parsed, data, n - 1, L)
-    from honours_tpu.engine.pipeline import _zd_merge
-
     return _zd_merge(zd0, vals, n, L)
 
 
-def _fit_from_grid1(grid1, S_b, dlen, T0_b, tabs_canned):
-    """Host fit from the decoded prefix grid; also returns the per-lane
-    resume clusters (cmap[last prefix symbol])."""
-    B, K, T1 = grid1.shape
-    ctx3 = _grid_ctx(grid1, S_b, dlen, K)
-    t = jnp.arange(T1, dtype=jnp.int32)[None, None, :]
-    lanes = jnp.arange(K, dtype=jnp.int32)[None, :, None]
-    act3 = (t < T0_b[:, None, None]) & (
-        (lanes * S_b[:, None, None] + t) < dlen[:, None, None]
+def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
+    """Batched drans_vbbe21_zd decode -> [B, L] int16.  Must receive the
+    same batch grouping the encoder used (the fit is batch-shared)."""
+    import os
+
+    from honours_tpu.engine.rans_o1_pallas import pick_dec_rows
+
+    B, Mb = stream.shape
+    Smax = -(-L // K_SHARED)
+    T1 = -(-Smax // PREFIX_DEN)
+    T2 = max(Smax - T1, 1)  # max suffix steps: S-ceil(S/4) nondecreasing
+    rows = 0
+    if jax.default_backend() == "tpu":
+        r = int(os.environ.get("HTPU_DEC_ROWS", 0)) or pick_dec_rows(
+            B, L, Mb
+        )
+        rows = r if (r and B % r == 0) else 0
+    (parsed, dlen, S_b, T0_b, grid1, fst, fptr, ctx1, counts,
+     last) = _drans_dec_phase1(stream, n, tabs_canned, L, emax, rows, T1)
+    tabs_fit = make_drans_tables(
+        fit_freqs(np.asarray(counts).astype(np.int64))
     )
-    counts = np.asarray(
-        o1_prefix_hist(grid1.astype(jnp.int32), ctx3, act3, S_b, T0_b)
+    return _drans_dec_phase2(
+        stream, n, parsed, dlen, S_b, T0_b, grid1, fst, fptr, ctx1, last,
+        tabs_fit, L, emax, rows, T2,
     )
-    freq257 = fit_freqs(counts.astype(np.int64))
-    tabs_fit = make_drans_tables(freq257)
-    # resume contexts: last decoded symbol per lane (t = T0_b - 1);
-    # lanes with no prefix symbols keep CTX0's cluster
-    last = jnp.take_along_axis(
-        grid1.astype(jnp.int32),
-        jnp.clip(T0_b - 1, 0, T1 - 1)[:, None, None].astype(jnp.int32)
-        * jnp.ones((B, K, 1), jnp.int32),
-        axis=2,
-    )[:, :, 0]
-    cmap = tabs_fit["cmap"]
-    has = (T0_b[:, None] > 0) & (
-        (jnp.arange(K, dtype=jnp.int32)[None, :] * S_b[:, None]) < dlen[:, None]
-    )
-    cl2 = jnp.where(
-        has, jnp.take(cmap, jnp.clip(last, 0, 255)), jnp.take(cmap, 256)
-    )
-    return tabs_fit, cl2
 
 
 def _rd_states(stream, base_off, K: int):

@@ -24,7 +24,7 @@ jax.config.update("jax_platforms", "cpu")
 # the per-module clear_caches below frees executables to keep the XLA
 # compiler alive over the whole suite; the persistent disk cache turns
 # the forced recompiles into cache hits so wall time stays sane
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 jax.config.update(
     "jax_persistent_cache_min_entry_size_bytes", -1
 )
