@@ -48,7 +48,14 @@ def _interleave2(a, b):
     return jnp.stack([a, b], axis=2).reshape(B, 2 * L)
 
 
-def _fused():
+#: largest L the fused kernels take: beyond 128Ki the per-block VMEM
+#: working set ([R, 2L]-wide walk intermediates) exceeds the chip and
+#: Mosaic compile time explodes (a 512Ki compile ran >20 min before
+#: being killed); the walk route's XLA fallback handles the long tail
+MAX_FUSED_L = 1 << 17
+
+
+def _fused(L: int):
     """TPU route: the fully-fused Mosaic kernels (svb16_fused.py) — the
     whole codec in one kernel per direction instead of XLA glue around a
     walk kernel.  Byte-identical streams; chip parity verified round 4
@@ -57,7 +64,9 @@ def _fused():
     8.2 GB/s dec vs 6.8/2.8 for the XLA+walk route — decode >= 2.9x and
     now within ~25% of encode).  Set HTPU_SVB16_FUSED=0 to force
     the old route (read once at import)."""
-    if not _FUSED_ENABLED or jax.default_backend() != "tpu":
+    if not _FUSED_ENABLED or L > MAX_FUSED_L:
+        return None
+    if jax.default_backend() != "tpu":
         return None
     from honours_tpu.engine import svb16_fused
 
@@ -69,7 +78,7 @@ def svb16_encode_batch(sig: jnp.ndarray, n: jnp.ndarray, zd: bool = True):
     """Encode [B, L] int16 with lengths n -> (stream [B, L//8 + 2L] u8,
     out_len [B]).  L must be a multiple of 8."""
     B, L = sig.shape
-    sf = _fused()
+    sf = _fused(L)
     if sf is not None:
         return sf.svb16_encode_fused(sig, n, zd=zd)
     KL = L // 8
@@ -101,7 +110,7 @@ def svb16_encode_batch(sig: jnp.ndarray, n: jnp.ndarray, zd: bool = True):
 def svb16_decode_batch(stream: jnp.ndarray, n: jnp.ndarray, L: int, zd: bool = True):
     """Decode [B, M] u8 with lengths n -> [B, L] int16 (padded lanes 0)."""
     B, M = stream.shape
-    sf = _fused()
+    sf = _fused(L)
     if sf is not None:
         return sf.svb16_decode_fused(stream, n, L, zd=zd)
     KL = L // 8
@@ -113,6 +122,8 @@ def svb16_decode_batch(stream: jnp.ndarray, n: jnp.ndarray, L: int, zd: bool = T
     krep = jnp.repeat(keys, 8, axis=1)  # static repeat: cheap broadcast
     two = (krep >> (pos[None, :] & 7)) & 1
     two = jnp.where(valid, two, 0)
+    if jax.default_backend() == "tpu":
+        two = jax.lax.optimization_barrier(two)
 
     # strip the ragged key area so data starts at column 0
     data = rowwise_shift_left(stream, kl, 2 * L)
@@ -125,8 +136,18 @@ def svb16_decode_batch(stream: jnp.ndarray, n: jnp.ndarray, L: int, zd: bool = T
     validc = rk < cnt[:, None]
     # u8 expand: on TPU this routes to the VMEM-resident Pallas walk
     # (permute_pallas.py) — the XLA-fused u8 walk miscompiles at B=256
-    # and stays disabled there (see permute.py).
+    # and stays disabled there (see permute.py).  Above the walk
+    # kernels' MAX_COLS (L > 128Ki) the XLA path runs instead, where
+    # fusing the walk with its producers ALSO miscompiles (reproduced at
+    # [8, 1M]: one wrong byte mid-stream; primitives pass standalone) —
+    # the barrier pins the walk inputs to materialized buffers.
+    if jax.default_backend() == "tpu":
+        data, shift, validc = jax.lax.optimization_barrier(
+            (data, shift, validc)
+        )
     grid, _ = monotone_expand(data, shift, validc, 2 * L)
+    if jax.default_backend() == "tpu":
+        grid = jax.lax.optimization_barrier(grid)
 
     b0 = grid[:, 0::2].astype(jnp.int32)
     b1 = grid[:, 1::2].astype(jnp.int32)
