@@ -433,10 +433,14 @@ def main():
 
         from honours_tpu.engine.pipeline import canned_o1_device_tables
 
+        import zstandard
+
         tabs = state.get("o1_tabs")
         if tabs is None:
             tabs = state["o1_tabs"] = canned_o1_device_tables()
-        cctx = state["cctx"]
+        # local compressor: this section must not depend on the vbz_ratio
+        # section having run (ADVICE r4 item 1)
+        cctx = zstandard.ZstdCompressor(level=1)
         synth_batches = 3  # 3 x [256, 64Ki] int16 = 100.7 MB
         synth_comp = synth_vbz = synth_drans = 0
         synth_raw = synth_batches * B * L * 2

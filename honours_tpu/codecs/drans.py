@@ -13,14 +13,18 @@ coders (rcmsenc, press/press.c:6531+) update their model per byte.
 drans does one mid-stream update at a format-defined boundary so both
 sides stay lane-parallel on TPU.
 
-Stream framing (identical to srans2 apart from the body's table rule):
-[zd0:u16][vbbe21 exception block][v5 body].
+Stream framing:
+[G:u16 LE][zd0:u16][vbbe21 exception block][v5 body].
 
 The BATCH is the compression unit: `drans_press_reads` fits ONE table
 over the prefixes of all reads passed together, and
-`drans_depress_reads` must receive the same grouping.  The registry
-codec presses/depresses single reads (a batch of one), which is always
-self-consistent.
+`drans_depress_reads` must receive the same grouping.  The G header
+makes mismatched groupings fail LOUDLY instead of decoding garbage
+(ADVICE r4 item 2): G = the number of streams in the encode group with
+a non-empty rANS body (S > 0); the decoder recomputes the same count
+over its own group and refuses to decode on mismatch.  The registry
+codec presses/depresses single reads (a batch of one, G <= 1), which is
+always self-consistent.
 """
 
 from __future__ import annotations
@@ -59,36 +63,55 @@ def drans_press_reads(signals) -> list:
         counts = c if counts is None else counts + c
         pre.append((zd, vb, exlen, data, S))
     fitted = fit_freqs(counts)
+    G = sum(1 for _, _, _, _, S in pre if S > 0)
     out = []
     for zd, vb, exlen, data, S in pre:
         body = rans_encode_o1_dyn(data, canned, fitted, prefix_steps(S), S=S)
-        out.append(zd[:1].astype("<u2").tobytes() + vb[:exlen] + body)
+        out.append(
+            struct.pack("<H", G)
+            + zd[:1].astype("<u2").tobytes()
+            + vb[:exlen]
+            + body
+        )
     return out
 
 
 def drans_depress_reads(streams, nins) -> list:
-    """Decompress a batch pressed together by drans_press_reads."""
+    """Decompress a batch pressed together by drans_press_reads.
+
+    Raises ValueError when a stream's G header disagrees with this
+    group's non-empty-body count — the loud-failure contract for
+    mismatched encode/decode groupings."""
     canned = canned_o1_freqs()
     sts = []
     counts = None
     for stream, nin in zip(streams, nins):
-        exlen = exblock_len(stream, 2, "vbbe21")
-        (nex,) = struct.unpack_from("<I", stream, 2)
+        (g_hdr,) = struct.unpack_from("<H", stream, 0)
+        exlen = exblock_len(stream, 4, "vbbe21")
+        (nex,) = struct.unpack_from("<I", stream, 4)
         ndata = nin - 1 - nex
-        body = stream[2 + exlen :]
+        body = stream[4 + exlen :]
         S = int(np.frombuffer(body, dtype="<u4", count=1)[0])
         st = o1_dyn_decode_start(body, ndata, canned, prefix_steps(S))
         grid = st["out"].reshape(K_SHARED, max(S, 1))[:, :S].astype(np.int64)
         c = prefix_counts_grid(grid, ndata, S)
         counts = c if counts is None else counts + c
-        sts.append((st, stream, exlen, nex, nin, S))
+        sts.append((st, stream, exlen, nex, nin, S, g_hdr))
+    g_expected = sum(1 for t in sts if t[5] > 0)
+    for i, t in enumerate(sts):
+        if t[5] > 0 and t[6] != g_expected:
+            raise ValueError(
+                f"drans group mismatch: stream {i} was encoded in a group "
+                f"of {t[6]} non-empty streams but is being decoded in a "
+                f"group of {g_expected}; pass the original grouping"
+            )
     fitted = fit_freqs(counts)
     out = []
-    for st, stream, exlen, nex, nin, S in sts:
+    for st, stream, exlen, nex, nin, S, _g in sts:
         data = o1_dyn_decode_finish(st, fitted, prefix_steps(S))
-        vb = stream[2 : 2 + exlen] + data.tobytes()
+        vb = stream[4 : 4 + exlen] + data.tobytes()
         zd = np.empty(nin, dtype=np.uint16)
-        zd[0] = np.frombuffer(stream, dtype="<u2", count=1)[0]
+        zd[0] = np.frombuffer(stream, dtype="<u2", count=1, offset=2)[0]
         zd[1:] = PAYLOAD["vbbe21"][1](vb, nin - 1)
         out.append(unzigdelta(zd))
     return out
@@ -98,7 +121,7 @@ class DransVbbe21ZdCodec(Codec):
     name = "drans_vbbe21_zd"
 
     def bound(self, nin: int) -> int:
-        return 2 + 4 + rans_bound(2 * nin)
+        return 2 + 2 + 4 + rans_bound(2 * nin)
 
     def press(self, signal):
         return drans_press_reads([signal])[0]

@@ -5,14 +5,14 @@ the canned o1 table, then a bucketed histogram of those prefix symbols
 (fitted identically by encoder and decoder — tables/drans.py) codes the
 remaining steps.  NO table bytes in the stream; in-sample == held-out
 by construction.  Byte-exact with drans_press_reads/drans_depress_reads
-over the same batch grouping.
+over the same batch grouping; the [G:u16] stream header records the
+group's non-empty-stream count so mismatched groupings fail loudly
+(ADVICE r4 item 2).
 
-Encode is one jitted pass per phase with a single walk kernel (the
-table switch lives entirely in the f/c lookup select).  Decode runs the
-o1 Pallas walk twice via its resume handles (rans_o1_pallas: step_lo /
-step_hi / init_cl / final states+ptr outputs) with the host fit in
-between — the only host work is the [58, 256] -> table normalization
-(~60 KB pulled per batch).
+Round-5 change (VERDICT r4 item 4): the table fit runs ON DEVICE —
+`fit_tables_device` reproduces tables.drans.dnorm bit-exactly in int32
+(same prescale), so encode and decode are each a SINGLE jit with no
+host transfer between the two decode walks.
 """
 
 from __future__ import annotations
@@ -38,16 +38,105 @@ from honours_tpu.engine.vbbe21 import (
     vbbe21_parts_batch,
 )
 from honours_tpu.kernels.rans import CTX0, M, PROB_BITS, RANS_L, K_SHARED
-from honours_tpu.tables.drans import NB, PREFIX_DEN, bucket_of, fit_freqs
+from honours_tpu.tables.drans import (
+    NB,
+    PREFIX_DEN,
+    W_FIT,
+    base_rows,
+    bucket_of,
+    fit_freqs,
+)
 
 U32 = jnp.uint32
 
 
 def make_drans_tables(freq257: np.ndarray) -> dict:
-    """Device tables for a fitted [257, 256] drans table.  The rows are
-    bucket rows (<= NB distinct), recovered by make_o1_tables' np.unique
-    — same structure as the canned table's clusters."""
+    """Host-route device tables for a fitted [257, 256] drans table
+    (test oracle for fit_tables_device; streams are identical)."""
     return make_o1_tables(np.asarray(freq257))
+
+
+# ---------------------------------------------------------------------------
+# device-side table fit (bit-identical to tables.drans.fit_freqs)
+# ---------------------------------------------------------------------------
+
+_STATIC = None
+
+
+def _fit_statics():
+    """(cmap [257] i32, cmap_pad [3,128] i32, base [NB,256] i32) — the
+    bucket map is closed-form so these are true constants."""
+    global _STATIC
+    if _STATIC is None:
+        bm = np.asarray(bucket_of(np.arange(257, dtype=np.int64)))
+        pad = np.zeros((3, 128), np.int64)
+        pad.reshape(-1)[:257] = bm
+        _STATIC = (
+            jnp.asarray(bm, jnp.int32),
+            jnp.asarray(pad, jnp.int32),
+            jnp.asarray(base_rows(), jnp.int32),
+        )
+    return _STATIC
+
+
+def _dnorm_rows(e):
+    """[NB, 256] i32 count rows -> [NB, 256] rows summing to M.
+
+    Bit-identical to tables.drans.dnorm per row: the prescale keeps
+    e*t < 2^31 so every intermediate is int32-exact, and the remainder
+    key embeds the symbol index so the sort order is unique (no
+    tie-breaking dependence on sort stability)."""
+    present = (e > 0).astype(jnp.int32)
+    npres = present.sum(axis=1, keepdims=True)
+    tot = e.sum(axis=1, keepdims=True)
+    s = (tot >> 17) + 1
+    e = jnp.maximum(e // s, present)
+    tot = e.sum(axis=1, keepdims=True)
+    t = M - npres
+    q = (e * t) // tot
+    rem = e * t - q * tot
+    f = q + present
+    diff = M - f.sum(axis=1, keepdims=True)
+    key = rem * 256 + (255 - jnp.arange(256, dtype=jnp.int32)[None, :])
+    order = jnp.argsort(-key, axis=1)
+    rank = jnp.argsort(order, axis=1)
+    return f + (rank < diff).astype(jnp.int32)
+
+
+@jax.jit
+def fit_tables_device(counts):
+    """[NB, 256] i32 prefix counts -> engine tables dict, entirely on
+    device.  Streams produced with these tables are byte-identical to
+    make_drans_tables(fit_freqs(counts)) — the planes use the NB bucket
+    rows directly instead of np.unique clusters, which changes only the
+    internal cluster numbering, not any (f, c) value."""
+    cmap, cmap_pad, base = _fit_statics()
+    rows = _dnorm_rows(counts * W_FIT + base)  # [NB, 256]
+    cum = jnp.cumsum(rows, axis=1)             # cum[s+1]
+    clo = cum - rows
+    v = cum - 1
+    planes = jnp.concatenate([v >> 6, v & 63], axis=1).astype(jnp.bfloat16)
+    fc = rows + clo * 8192
+    fc_tab = (
+        jnp.zeros((128 * 128,), jnp.int32)
+        .at[: NB * 256]
+        .set(fc.reshape(-1))
+        .reshape(128, 128)
+    )
+    r257 = jnp.take(rows, cmap, axis=0)  # [257, 256]
+    c257 = jnp.take(clo, cmap, axis=0)
+    cum_ext = jnp.concatenate(
+        [jnp.zeros((257, 1), jnp.int32), jnp.cumsum(r257, axis=1)], axis=1
+    )
+    return dict(
+        planes_full=planes,
+        flat_f=r257.reshape(-1),
+        flat_c=c257.reshape(-1),
+        cum_ext=cum_ext,
+        cmap=cmap,
+        cmap_pad=cmap_pad,
+        fc_tab=fc_tab,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -64,8 +153,18 @@ def o1_prefix_hist(g3, ctx3, act3, S_b, T0_b):
     g3/ctx3 [B, K, Smax] i32, act3 bool, T0_b [B] i32.  Returns
     [NB, 256] i32, exact (chunked one-hot matmuls; every per-chunk cell
     count < 2^17 so the f32 accumulation is integer-exact).
+
+    Scale bound (ADVICE r4 item 3): the int32 accumulator wraps if one
+    (bucket, symbol) cell exceeds 2^31 prefix positions, i.e. > 8.6 GB
+    of residual bytes in a SINGLE batch.  The batch is the compression
+    unit (engine buckets are <= max_b * L = 256 * 1 MiB = 256 MiB of
+    signal, ~2^26 prefix positions), so the bound is unreachable through
+    the runner; callers building custom giant batches must chunk them.
     """
     B, K, Smax = g3.shape
+    assert B * K * Smax < (1 << 31), (
+        "per-batch prefix positions would overflow the int32 histogram"
+    )
     t = jnp.arange(Smax, dtype=jnp.int32)[None, None, :]
     mask = act3 & (t < T0_b[:, None, None])
     sym = g3.reshape(-1)
@@ -97,90 +196,73 @@ def o1_prefix_hist(g3, ctx3, act3, S_b, T0_b):
 
 
 # ---------------------------------------------------------------------------
-# encode
+# encode — ONE jit: parts + histogram + device fit + dyn walk + assembly
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def _enc_grid(data, dlen, K: int):
-    B, N = data.shape
-    Smax = -(-N // K)
-    return _lane_grid(data, dlen, K, Smax)
+@functools.partial(jax.jit, static_argnames=("emax",))
+def _drans_enc(sig, n, tabs_canned, emax: int):
+    from honours_tpu.engine.bits import rowwise_concat
+    from honours_tpu.engine.pipeline import _zd_parts
 
-
-def _dyn_fc(data, dlen, tabs_a, tabs_b, K: int):
-    B, N = data.shape
-    Smax = -(-N // K)
+    B, L = sig.shape
+    K = K_SHARED
+    zd0, rest = _zd_parts(sig, n)
+    parts = vbbe21_parts_batch(rest, n - 1, emax)
+    data, dlen = parts["data"], parts["data_len"]
+    Smax = -(-data.shape[1] // K)
     g3, ctx3, act3, S_b = _lane_grid(data, dlen, K, Smax)
     T0_b = -(-S_b // PREFIX_DEN)
+    # rows whose exception count overflows the static cap produce capped
+    # (invalid) streams that the runner re-encodes on the host — they
+    # must not contribute to the shared fit or to G, or every OTHER
+    # row's group count would disagree with the decoder's
+    include = parts["nex"] <= emax
+    counts = o1_prefix_hist(
+        g3, ctx3, act3 & include[:, None, None], S_b, T0_b
+    )
+    tabs_fit = fit_tables_device(counts)
+    G = jnp.sum(((S_b > 0) & include).astype(jnp.int32))
+
     g, c_ = g3.reshape(B, -1), ctx3.reshape(B, -1)
-    fa, ca = _o1_fc(g, c_, tabs_a)
-    fb, cb = _o1_fc(g, c_, tabs_b)
+    fa, ca = _o1_fc(g, c_, tabs_canned)
+    fb, cb = _o1_fc(g, c_, tabs_fit)
     t = jnp.arange(Smax, dtype=jnp.int32)[None, None, :]
     pre = t < T0_b[:, None, None]
     f3 = jnp.where(pre, fa.reshape(B, K, Smax), fb.reshape(B, K, Smax))
     c3 = jnp.where(pre, ca.reshape(B, K, Smax), cb.reshape(B, K, Smax))
-    return f3, c3, act3, S_b
+    segs_body, planew = encode_from_fc(f3, c3, act3, S_b, K, parts=True)
 
-
-@functools.partial(jax.jit, static_argnames=("K",))
-def rans_o1_dyn_encode_batch(data, dlen, tabs_a, tabs_b, K: int = K_SHARED):
-    """v5 encode: (f, c) select canned (steps < T0) vs fitted tables,
-    then the shared v3 walk.  Byte-exact with rans_encode_o1_dyn."""
-    f3, c3, act3, S_b = _dyn_fc(data, dlen, tabs_a, tabs_b, K)
-    return encode_from_fc(f3, c3, act3, S_b, K)
-
-
-@functools.partial(jax.jit, static_argnames=("emax",))
-def _drans_enc_finish(zd0, parts, tabs_a, tabs_b, emax: int):
-    """Dyn-table f/c select + walk + single-walk assembly (the body
-    compaction rides the final concat)."""
-    from honours_tpu.engine.pipeline import _assemble_srans_parts
-
-    f3, c3, act3, S_b = _dyn_fc(
-        parts["data"], parts["data_len"], tabs_a, tabs_b, K_SHARED
+    segs = (
+        [
+            (
+                u16le_bytes(jnp.broadcast_to(G, (B,))),
+                jnp.full((B,), 2, jnp.int32),
+            ),
+            (u16le_bytes(zd0), jnp.full((B,), 2, jnp.int32)),
+        ]
+        + parts["exsegs"]
+        + segs_body
     )
-    segs_body, planew = encode_from_fc(
-        f3, c3, act3, S_b, K_SHARED, parts=True
+    total = (
+        2 + 2 + 4 + (4 + 4 * emax + 1) + (4 + 2 * emax + 1) + 6
+        + (4 + 4 * K + planew)
     )
-    return _assemble_srans_parts(
-        zd0, parts, segs_body, 4 + 4 * K_SHARED + planew, emax
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("emax",))
-def _drans_enc_prep(sig, n, emax: int):
-    """One jitted prep pass: transforms + vbbe21 parts + lane grid +
-    prefix histogram.  The only device->host traffic per batch is the
-    [NB, 256] counts pull (the fit itself is host numpy by design)."""
-    from honours_tpu.engine.pipeline import _zd_parts
-
-    zd0, rest = _zd_parts(sig, n)
-    parts = vbbe21_parts_batch(rest, n - 1, emax)
-    g3, ctx3, act3, S_b = _enc_grid(parts["data"], parts["data_len"],
-                                    K_SHARED)
-    T0_b = -(-S_b // PREFIX_DEN)
-    counts = o1_prefix_hist(g3, ctx3, act3, S_b, T0_b)
-    return zd0, parts, counts
+    return rowwise_concat(segs, total)
 
 
 def press_drans_batch(sig, n, tabs_canned, emax: int = None):
     """Batched drans_vbbe21_zd encode -> (stream [B, M] u8, len [B]).
 
-    Two jitted passes around the ~60 KB host pull for the deterministic
-    table fit.  `tabs_canned` from pipeline.canned_o1_device_tables().
-    """
+    One jitted pass; the fit runs on device.  `tabs_canned` from
+    pipeline.canned_o1_device_tables()."""
     B, L = sig.shape
     emax = emax or L
-    zd0, parts, counts = _drans_enc_prep(sig, n, emax)
-    tabs_fit = make_drans_tables(
-        fit_freqs(np.asarray(counts).astype(np.int64))
-    )
-    return _drans_enc_finish(zd0, parts, tabs_canned, tabs_fit, emax)
+    return _drans_enc(sig, n, tabs_canned, emax)
 
 
 # ---------------------------------------------------------------------------
-# decode
+# decode — ONE jit: parse + prefix walk + device fit + suffix walk
 # ---------------------------------------------------------------------------
 
 
@@ -265,27 +347,36 @@ def _merge_grids(grid1, grid2, T0_b, S_b, Smax: int, K: int, T2: int):
     ).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "emax", "rows", "T1"))
-def _drans_dec_phase1(stream, n, tabs_canned, L: int, emax: int, rows: int,
-                      T1: int):
-    """Jitted decode phase 1: parse + prefix walk + histogram.  Returns
-    everything phase 2 needs plus the [NB, 256] counts (the one host
-    pull) and the per-lane last prefix symbols."""
-    from honours_tpu.engine.rans_o1_pallas import (
-        rans_o1_decode_resume_pallas,
-    )
+@functools.partial(
+    jax.jit, static_argnames=("L", "emax", "rows", "T1", "T2")
+)
+def _drans_dec(stream, n, tabs_canned, L: int, emax: int, rows: int,
+               T1: int, T2: int):
+    """Single-jit decode: parse + canned prefix walk + device fit +
+    fitted suffix walk + merge + fill.  Returns ([B, L] int16, g_ok)."""
+    from honours_tpu.engine.pipeline import _zd_merge
 
     B, Mb = stream.shape
     K = K_SHARED
+    Smax = -(-L // K)
+    zero = jnp.zeros((B,), jnp.int32)
+    g_hdr = read_u16le(stream, zero).astype(jnp.int32)
+    zd0 = read_u16le(stream, zero + 2)
     parsed = vbbe21_parse_batch(
-        stream, jnp.full((B,), 2, jnp.int32), n - 1, L, emax
+        stream, jnp.full((B,), 4, jnp.int32), n - 1, L, emax
     )
     base_off = parsed["end_off"]
     dlen = n - 1 - parsed["nex"]
     S_b = read_u32le(stream, base_off).astype(jnp.int32)
     T0_b = -(-S_b // PREFIX_DEN)
+    include = parsed["nex"] <= emax
     states = _rd_states(stream, base_off, K)
+
     if rows:
+        from honours_tpu.engine.rans_o1_pallas import (
+            rans_o1_decode_resume_pallas,
+        )
+
         grid1, fst, fptr = rans_o1_decode_resume_pallas(
             stream, states.astype(jnp.int32), dlen, S_b,
             tabs_canned["cmap_pad"], tabs_canned["planes_full"], T1, K,
@@ -309,32 +400,23 @@ def _drans_dec_phase1(stream, n, tabs_canned, L: int, emax: int, rows: int,
     act3 = (t < T0_b[:, None, None]) & (
         (lanes * S_b[:, None, None] + t) < dlen[:, None, None]
     )
-    counts = o1_prefix_hist(grid1.astype(jnp.int32), ctx3, act3, S_b, T0_b)
+    counts = o1_prefix_hist(
+        grid1.astype(jnp.int32), ctx3,
+        act3 & include[:, None, None], S_b, T0_b,
+    )
+    tabs_fit = fit_tables_device(counts)
     last = jnp.take_along_axis(
         grid1.astype(jnp.int32),
         jnp.clip(T0_b - 1, 0, T1 - 1)[:, None, None].astype(jnp.int32)
         * jnp.ones((B, K, 1), jnp.int32),
         axis=2,
     )[:, :, 0]
-    return parsed, dlen, S_b, T0_b, grid1, fst, fptr, ctx1, counts, last
 
-
-@functools.partial(jax.jit, static_argnames=("L", "emax", "rows", "T2"))
-def _drans_dec_phase2(stream, n, parsed, dlen, S_b, T0_b, grid1, fst, fptr,
-                      ctx1, last, tabs_fit, L: int, emax: int, rows: int,
-                      T2: int):
-    """Jitted decode phase 2: suffix walk with the fitted tables, merge,
-    ungrid, vbbe21 fill, zigzag-delta merge."""
-    from honours_tpu.engine.rans_o1_pallas import (
-        rans_o1_decode_resume_pallas,
-    )
-    from honours_tpu.engine.pipeline import _zd_merge
-
-    B, Mb = stream.shape
-    K = K_SHARED
-    Smax = -(-L // K)
-    zd0 = read_u16le(stream, jnp.zeros((B,), jnp.int32))
     if rows:
+        from honours_tpu.engine.rans_o1_pallas import (
+            rans_o1_decode_resume_pallas,
+        )
+
         cmap = tabs_fit["cmap"]
         has = (T0_b[:, None] > 0) & (
             (jnp.arange(K, dtype=jnp.int32)[None, :] * S_b[:, None])
@@ -351,7 +433,6 @@ def _drans_dec_phase2(stream, n, parsed, dlen, S_b, T0_b, grid1, fst, fptr,
     else:
         from honours_tpu.engine.permute import rowwise_shift_left
 
-        base_off = parsed["end_off"]
         body = rowwise_shift_left(stream, base_off + 4 + 4 * K, Mb)
         grid2, _, _, _ = _xla_walk_phase(
             body, fst, fptr, ctx1, tabs_fit["cum_ext"], S_b, dlen,
@@ -360,17 +441,22 @@ def _drans_dec_phase2(stream, n, parsed, dlen, S_b, T0_b, grid1, fst, fptr,
     grid = _merge_grids(grid1, grid2, T0_b, S_b, Smax, K, T2)
     data = _ungrid(grid, S_b, dlen, K, Smax, L)
     vals = vbbe21_fill_batch(parsed, data, n - 1, L)
-    return _zd_merge(zd0, vals, n, L)
+    out = _zd_merge(zd0, vals, n, L)
+    g_expected = jnp.sum(((S_b > 0) & include).astype(jnp.int32))
+    g_ok = (S_b == 0) | ~include | (g_hdr == g_expected)
+    return out, g_ok
 
 
 def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
     """Batched drans_vbbe21_zd decode -> [B, L] int16.  Must receive the
-    same batch grouping the encoder used (the fit is batch-shared)."""
+    same batch grouping the encoder used (the fit is batch-shared);
+    raises ValueError when any stream's G header disagrees."""
     import os
 
     from honours_tpu.engine.rans_o1_pallas import pick_dec_rows
 
     B, Mb = stream.shape
+    emax = emax or L
     Smax = -(-L // K_SHARED)
     T1 = -(-Smax // PREFIX_DEN)
     T2 = max(Smax - T1, 1)  # max suffix steps: S-ceil(S/4) nondecreasing
@@ -380,15 +466,15 @@ def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
             B, L, Mb
         )
         rows = r if (r and B % r == 0) else 0
-    (parsed, dlen, S_b, T0_b, grid1, fst, fptr, ctx1, counts,
-     last) = _drans_dec_phase1(stream, n, tabs_canned, L, emax, rows, T1)
-    tabs_fit = make_drans_tables(
-        fit_freqs(np.asarray(counts).astype(np.int64))
-    )
-    return _drans_dec_phase2(
-        stream, n, parsed, dlen, S_b, T0_b, grid1, fst, fptr, ctx1, last,
-        tabs_fit, L, emax, rows, T2,
-    )
+    out, g_ok = _drans_dec(stream, n, tabs_canned, L, emax, rows, T1, T2)
+    if not bool(jnp.all(g_ok)):
+        bad = np.flatnonzero(~np.asarray(g_ok))
+        raise ValueError(
+            f"drans group mismatch: rows {bad[:8].tolist()} carry a G "
+            "header that disagrees with this batch's non-empty-stream "
+            "count; decode with the original encode grouping"
+        )
+    return out
 
 
 def _rd_states(stream, base_off, K: int):

@@ -74,13 +74,21 @@ def dnorm(e: np.ndarray) -> np.ndarray:
 
     Each present symbol gets >= 1; the fractional remainders of the
     proportional split are resolved by rank (largest remainder first,
-    ties to the lower symbol index).  Pure integer arithmetic.
+    ties to the lower symbol index).  Pure integer arithmetic, and every
+    intermediate fits int32 (counts are first rescaled so the row total
+    is < 2^18, making e*t < 2^31) — the SAME arithmetic runs on-device
+    in engine/drans.fit_tables_device, so host and TPU fits are
+    bit-identical without int64 device support.
     """
     e = np.asarray(e, dtype=np.int64)
     present = (e > 0).astype(np.int64)
     npres = int(present.sum())
     tot = int(e.sum())
     assert tot > 0
+    # prescale: tot' <= 2^17 + npres < 2^18, so e*t below stays in int32
+    s = (tot >> 17) + 1
+    e = np.maximum(e // s, present)
+    tot = int(e.sum())
     t = M - npres
     q = (e * t) // tot
     rem = e * t - q * tot
