@@ -120,6 +120,7 @@ DEFAULT_METHODS = [
     "srans2_vbbe21_zd",
     "srans3_vbbe21_zd",
     "dstall_srans2",
+    "drans_vbbe21_zd",
     "hasgam_vbsse21_zdq",
     "zlib_hasgam_vbsse21_zdq",
     "zstd_hasgam_vbsse21_zdq",

@@ -24,7 +24,9 @@ def main(argv=None):
     p = sub.add_parser("press", help="compress signal field with a codec")
     p.add_argument("infile")
     p.add_argument("outfile")
-    p.add_argument("--codec", default="srans2_vbbe21_zd")
+    # drans is the default: the only flagship whose ratio claim carries
+    # no canned-table train/test caveat (the stream fits its own model)
+    p.add_argument("--codec", default="drans_vbbe21_zd")
     p.add_argument(
         "--tpu", action="store_true",
         help="route reads through the batched device engines "

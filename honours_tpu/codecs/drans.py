@@ -117,8 +117,47 @@ def drans_depress_reads(streams, nins) -> list:
     return out
 
 
+def drans_depress_auto(streams, nins, max_b: int = 256) -> list:
+    """Decode drans streams with UNKNOWN grouping, in original order.
+
+    Streams written per-read (G <= 1, e.g. the registry codec) decode
+    individually; engine-written streams (G = bucket group size) are
+    regrouped by re-deriving the runner's deterministic length bucketing
+    (io/batching.bucket_reads with the same max_b).  Mixed files — e.g.
+    exception-cap host fallbacks inside an engine bucket — partition by
+    each stream's own G header; drans_depress_reads still validates
+    every group, so a wrong grouping stays a loud ValueError."""
+    import struct as _struct
+
+    from honours_tpu.io.batching import bucket_reads, restore_order
+
+    fake = [np.zeros(int(m), np.int16) for m in nins]
+    buckets = bucket_reads(fake, max_b=max_b)
+    outs = []
+    for b in buckets:
+        rows = [streams[i] for i in b.indices]
+        lens = [int(nins[i]) for i in b.indices]
+        gs = [_struct.unpack_from("<H", r, 0)[0] for r in rows]
+        single = [j for j in range(len(rows)) if gs[j] <= 1]
+        grouped = [j for j in range(len(rows)) if gs[j] > 1]
+        dec = [None] * len(rows)
+        for j in single:
+            dec[j] = drans_depress_reads([rows[j]], [lens[j]])[0]
+        if grouped:
+            outs_g = drans_depress_reads(
+                [rows[j] for j in grouped], [lens[j] for j in grouped]
+            )
+            for j, o in zip(grouped, outs_g):
+                dec[j] = o
+        outs.append(dec)
+    return restore_order(buckets, outs)
+
+
 class DransVbbe21ZdCodec(Codec):
     name = "drans_vbbe21_zd"
+    #: the batch is the compression unit — io/blow5 and other whole-file
+    #: consumers should decode via depress_group, not per-read depress
+    grouped = True
 
     def bound(self, nin: int) -> int:
         return 2 + 2 + 4 + rans_bound(2 * nin)
@@ -128,6 +167,9 @@ class DransVbbe21ZdCodec(Codec):
 
     def depress(self, stream, nin):
         return drans_depress_reads([stream], [nin])[0]
+
+    def depress_group(self, streams, nins):
+        return drans_depress_auto(streams, nins)
 
 
 register(DransVbbe21ZdCodec())

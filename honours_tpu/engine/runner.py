@@ -25,6 +25,7 @@ from honours_tpu.io.batching import bucket_reads, restore_order
 
 #: codecs with a batched engine (encode, decode); decode None = host-only
 ENGINE_CODECS = {
+    "drans_vbbe21_zd": ("drans", "drans"),
     "srans2_vbbe21_zd": ("srans2", "srans2"),
     "srans3_vbbe21_zd": ("srans3", "srans3"),
     "srans_vbbe21_zd": ("srans", "srans"),
@@ -98,6 +99,11 @@ def _press_bucket(sig, n, kind: str):
     sigj, nj = jnp.asarray(sig), jnp.asarray(n)
     if kind == "srans2":
         st, sl = press_srans2_batch(sigj, nj, canned_o1_device_tables(), _emax(L))
+    elif kind == "drans":
+        from honours_tpu.engine.drans import press_drans_batch
+
+        st, sl = press_drans_batch(sigj, nj, canned_o1_device_tables(),
+                                   _emax(L))
     elif kind == "srans3":
         from honours_tpu.engine.pipeline import (
             canned_o1n_device_tables,
@@ -156,6 +162,11 @@ def _depress_bucket(buf, n, kind: str, L: int):
     if kind == "srans2":
         out = depress_srans2_batch(bufj, nj, canned_o1_device_tables(), L,
                                    emax=_emax(L))
+    elif kind == "drans":
+        from honours_tpu.engine.drans import depress_drans_batch
+
+        out = depress_drans_batch(bufj, nj, canned_o1_device_tables(), L,
+                                  emax=_emax(L))
     elif kind == "srans3":
         from honours_tpu.engine.pipeline import (
             canned_o1n_device_tables,
@@ -203,6 +214,12 @@ def _nex_overflowed(blob: bytes, codec_name: str, emax: int) -> bool:
         if len(blob) < 16:
             return False
         (nex,) = struct.unpack_from("<I", blob, 12)
+        return nex > emax
+    if codec_name == "drans_vbbe21_zd":
+        # [G:u16][zd0:u16][nex:u32]... (codecs/drans.py framing)
+        if len(blob) < 8:
+            return False
+        (nex,) = struct.unpack_from("<I", blob, 4)
         return nex > emax
     if codec_name == "dstall_srans2":
         # both inner srans2 blobs carry their vbbe21 nex at blob+2
@@ -277,10 +294,25 @@ def depress_signals_tpu(streams, lengths, codec_name: str, max_b: int = 256):
         for j, blob in enumerate(rows):
             if _nex_overflowed(blob, codec_name, emax):
                 host_rows[j] = host.depress(blob, int(b.n[j]))
+            elif (
+                codec_name == "drans_vbbe21_zd"
+                and len(blob) >= 2
+                and struct.unpack_from("<H", blob, 0)[0] <= 1
+            ):
+                # per-read (host-written) drans streams are their own
+                # groups — decode them individually; the engine batch
+                # group-decodes only the engine-written rows
+                host_rows[j] = host.depress(blob, int(b.n[j]))
         W = max(len(r) for r in rows)
         W = -(-W // 128) * 128
         buf = np.zeros((len(rows), W), np.uint8)
         for j, blob in enumerate(rows):
+            if j in host_rows:
+                # leave the row zeroed: overflow streams were excluded
+                # from group state at encode (drans fit/G), and a zero
+                # row parses as empty, keeping the engine batch's group
+                # membership identical to the encoder's
+                continue
             buf[j, : len(blob)] = np.frombuffer(blob, np.uint8)
         buf, n, B = _pad_rows(buf, b.n)
         out = _depress_bucket(buf, n, kind, b.L)

@@ -246,6 +246,10 @@ def read_blow5(path: str, decode_signal: bool = True) -> Blow5File:
         from honours_tpu.codecs import base as _registry
 
         signal_codec = _registry.get(name)
+    # group-unit codecs (drans: the batch is the compression unit) must
+    # decode whole-file so the group fit can be re-derived — parse the
+    # raw streams first, then decode them together in original order
+    group_decode = decode_signal and getattr(signal_codec, "grouped", False)
     n = len(data)
     while off + 8 <= n:
         (rec_size,) = struct.unpack_from("<Q", data, off)
@@ -253,8 +257,19 @@ def read_blow5(path: str, decode_signal: bool = True) -> Blow5File:
         payload = _decompress_record(data[off : off + rec_size], record_press)
         off += rec_size
         out.reads.append(
-            parse_record(payload, signal_press, signal_codec, decode_signal)
+            parse_record(
+                payload, signal_press, signal_codec,
+                decode_signal and not group_decode,
+            )
         )
+    if group_decode and out.reads:
+        sigs = signal_codec.depress_group(
+            [r.signal_stream for r in out.reads],
+            [r.signal_len for r in out.reads],
+        )
+        for r, s in zip(out.reads, sigs):
+            r.signal = np.asarray(s, dtype=np.int16)
+            r.signal_stream = None
     return out
 
 

@@ -187,7 +187,8 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
         fptr_ref[q : q + 1, :] = rel[q : q + 1, :] + ptr_ref[q]
 
 
-def launch(body, states, dlen, S_b, cmap_pad, planes4, Smax, K, rows, ablate):
+def launch(body, states, dlen, S_b, cmap_pad, planes4, Smax=0, K=32,
+           rows=64, ablate=frozenset()):
     B, Mb = body.shape
     nsteps16 = -(-Smax // 16) * 16
     r4 = planes4.shape[0]
@@ -277,20 +278,27 @@ def main():
         ("no-refill", {"refill", "reload"}),
         ("skeleton", {"dot", "search", "cf", "clgather", "refill", "reload"}),
     ]
+    only = os.environ.get("ONLY")
     for name, ab in variants:
+        if only and name not in only.split(","):
+            continue
+        fn = jax.jit(
+            functools.partial(
+                launch, Smax=Smax, K=K, rows=ROWS, ablate=frozenset(ab)
+            )
+        )
         t0 = time.time()
-        g = launch(body, states, dlen, S_b, tabs["cmap_pad"],
-                   tabs["planes_full"], Smax, K, ROWS, frozenset(ab))
+        g = fn(body, states, dlen, S_b, tabs["cmap_pad"], tabs["planes_full"])
         sync(g)
         tc = time.time() - t0
         t0 = time.time()
         reps = 5
         for _ in range(reps):
-            g = launch(body, states, dlen, S_b, tabs["cmap_pad"],
-                       tabs["planes_full"], Smax, K, ROWS, frozenset(ab))
+            g = fn(body, states, dlen, S_b, tabs["cmap_pad"],
+                   tabs["planes_full"])
         sync(g)
         t = (time.time() - t0) / reps
-        print(f"{name:12s}: {t*1e3:7.1f} ms   (compile {tc:.0f}s)")
+        print(f"{name:12s}: {t*1e3:7.1f} ms   (compile {tc:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
