@@ -54,6 +54,20 @@ def pick_dec_rows(B: int, N: int, Mb: int | None = None) -> int:
     so rows should be as large as memory allows: every extra row
     pipelines more independent work into the per-step dot/VPU chain.
 
+    Round-5 roofline note (tools/chip_dec_ablate.py, [256, 64Ki], real
+    chip): at rows=64 the kernel is THROUGHPUT-bound (16/32/64 rows =
+    69.4/65.4/62.8 ms) with component costs dot+reconstruct ~15 ms,
+    ge/sym search ~9 ms, c/f masked sums ~30 ms, refill+stores ~8 ms —
+    ~3.7 ns/symbol, consistent with ~1 vreg-op/cycle VPU issue over the
+    [.,256]-wide passes.  Alternatives measured SLOWER or unsupported:
+    hierarchical 16x16 search via chunk gathers (72.8 ms — predicated
+    chunk scans cost ~100 ns each), f32 single-plane dot (63.1),
+    packed two-crossing reductions with lane-shift one-hots (70.2),
+    per-lane 3D take_along_axis (Mosaic: 2D gathers only).  Decoding a
+    256-symbol order-1 CDF costs >= ~5 full-width vector passes per
+    symbol on this VPU; further decode throughput needs a format-level
+    change (narrower materialization), not more kernel tuning.
+
     `Mb` = actual stream width in bytes (the kernel stages the WHOLE
     stream per row, not just ~2N body bytes); returns 0 when even the
     smallest block cannot fit, signalling callers to use the XLA path.

@@ -42,7 +42,8 @@ def _gather_chunks(table_2d, idx, n_chunks: int):
 
 
 def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
-                   cl0_ref, off_ref, cmap_ref, planes_ref,
+                   cl0_ref, off_ref, cmap_ref, planes_ref, coarse_ref,
+                   pairs_ref,
                    out_ref, fst_ref, fptr_ref, ptr_ref, win_ref,
                    *, nsteps: int, K: int, r4: int, rr: int, ablate):
     Kc = K
@@ -70,6 +71,73 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
         active = (u < se) & ((lanes * sb + u) < dlen)
         x = states
         slot = x & (M - 1)
+        if "v2" in ablate:
+            # new search: 16-wide coarse one-hot dot + packed-boundary
+            # chunk gathers; c and f fall out of the boundary window
+            oh2 = (cl[:, :, None] == irf).astype(jnp.bfloat16).reshape(
+                rr * Kc, r4
+            )
+            crow = jnp.dot(
+                oh2, coarse_ref[:, :], preferred_element_type=jnp.float32
+            ).reshape(rr, Kc, 32)
+            Bq = crow[:, :, :16] * 64.0 + crow[:, :, 16:]
+            slot_f = slot.astype(jnp.float32)
+            h = jnp.sum(
+                (slot_f[:, :, None] > Bq).astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)
+            idx2 = pad_k(cl * 16 + h)  # [rr, 128]
+            prs = pairs_ref[:, :, :]
+            Cs = []
+            for j in range(9):
+                w = _gather_chunks(prs[j], idx2, 8)
+                Cs.append(w & 0xFFFF)
+                Cs.append(w >> 16)
+            Cs = [c[:, :Kc] for c in Cs[:17]]
+            c = Cs[0]
+            f0 = Cs[1] - Cs[0]
+            f = f0
+            sym_off = jnp.zeros_like(slot)
+            for j in range(1, 16):
+                m = slot >= Cs[j]
+                sym_off = sym_off + m
+                c = jnp.where(m, Cs[j], c)
+                f = jnp.where(m, Cs[j + 1] - Cs[j], f)
+            sym = h * 16 + sym_off
+            newx = f * (x >> PROB_BITS) + slot - c
+            x = jnp.where(active, newx, x)
+            cl = jnp.where(
+                active, _gather_chunks(cm, pad_k(sym), 2)[:, :Kc], cl
+            )
+            need1 = active & (x < RANS_L)
+            need2 = active & (x < (RANS_L >> 8))
+            f1 = need1.astype(jnp.float32)
+            f2 = need2.astype(jnp.float32)
+            rank1 = jax.lax.dot_general(
+                f1, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            rank2 = jax.lax.dot_general(
+                f2, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            cnt1 = jnp.sum(need1.astype(jnp.int32), axis=1, keepdims=True)
+            cnt2 = jnp.sum(need2.astype(jnp.int32), axis=1, keepdims=True)
+            idx_a = rel + rank1
+            idx_b = rel + cnt1 + rank2
+            bidx = jnp.concatenate(
+                [idx_a, idx_b, kz[:, : 128 - 2 * Kc]], axis=1
+            )
+            bidx = jnp.clip(bidx, 0, 4 * WW - 1)
+            widx = bidx >> 2
+            wlo = widx & 127
+            w = jnp.where(
+                widx < 128, _taa(win[:, :128], wlo), _taa(win[:, 128:], wlo)
+            )
+            byts = (w >> ((bidx & 3) * 8)) & 0xFF
+            b_a = byts[:, :Kc]
+            b_b = byts[:, Kc : 2 * Kc]
+            x = jnp.where(need1, (x << 8) | b_a, x)
+            x = jnp.where(need2, (x << 8) | b_b, x)
+            rel = rel + cnt1 + cnt2
+            return x, cl, sym, rel
         if "dot" in ablate:
             cumhi1 = jnp.broadcast_to(
                 (slot[:, :, None] * 0 + 32).astype(jnp.float32), (rr, Kc, 256)
@@ -82,12 +150,86 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
                 oh2, planes_ref[:, :], preferred_element_type=jnp.float32
             ).reshape(rr, Kc, 512)
             cumhi1 = rows[:, :, :256] * 64.0 + rows[:, :, 256:]
-        slot_f = slot.astype(jnp.float32)
-        if "search" in ablate:
+        if "v5" in ablate:
+            # dot-only: consume cumhi1 trivially (measures dot+reconstruct)
+            sym = cumhi1[:, :, 0].astype(jnp.int32) & 255
+            c = slot & 1023
+            f = jnp.full_like(slot, 33)
+        elif "v6" in ablate:
+            # f32 single-plane dot: planes hold cumhi1 directly, no
+            # reconstruct, half the dot output width
+            ohf = (cl[:, :, None] == irf).astype(jnp.float32).reshape(
+                rr * Kc, r4
+            )
+            cumhi6 = jnp.dot(
+                ohf, planes_ref[:, :256].astype(jnp.float32) * 64.0
+                + planes_ref[:, 256:].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).reshape(rr, Kc, 256)
+            slot_f = slot.astype(jnp.float32)
+            ge = (slot_f[:, :, None] > cumhi6).astype(jnp.float32)
+            sym3 = jnp.sum(ge, axis=-1)
+            sym = sym3.astype(jnp.int32)
+            i256 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, 256), 2)
+            oh1 = (i256 == (sym - 1)[:, :, None]).astype(jnp.float32)
+            ohs = (i256 == sym[:, :, None]).astype(jnp.float32)
+            r1 = jnp.sum(oh1 * cumhi6, axis=-1)
+            r2 = jnp.sum(ohs * cumhi6, axis=-1)
+            c = r1.astype(jnp.int32) + (sym > 0).astype(jnp.int32)
+            f = (r2.astype(jnp.int32) + 1) - c
+        elif "v7" in ablate:
+            # packed crossings: two lane-reductions instead of three
+            # (A = r1 + r2hi*8192 via shifted-ge one-hots, B = sym +
+            # r2lo*512), one-hots from lane shifts of ge (no iota)
+            hi = rows[:, :, :256]
+            lo = rows[:, :, 256:]
+            slot_f = slot.astype(jnp.float32)
+            ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
+            one0 = jnp.concatenate(
+                [jnp.ones((rr, Kc, 1), jnp.float32),
+                 ge[:, :, :-1]], axis=2
+            )
+            ohs = one0 - ge           # s == sym
+            oh1 = ge - jnp.concatenate(
+                [ge[:, :, 1:], jnp.zeros((rr, Kc, 1), jnp.float32)], axis=2
+            )                          # s == sym - 1
+            A = jnp.sum(oh1 * cumhi1 + (ohs * hi) * 8192.0, axis=-1)
+            B = jnp.sum(ge + (ohs * lo) * 512.0, axis=-1)
+            Ai = A.astype(jnp.int32)
+            Bi = B.astype(jnp.int32)
+            sym = Bi & 511
+            r2 = ((Ai >> 13) << 6) + (Bi >> 9)
+            r1 = Ai & 8191
+            c = jnp.where(sym > 0, r1 + 1, 0)
+            f = (r2 + 1) - c
+        elif "v3" in ablate:
+            # c/f via per-lane dynamic gathers into the materialized row
+            # instead of one-hot masked sums
+            slot_f = slot.astype(jnp.float32)
+            ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
+            sym3 = jnp.sum(ge, axis=-1)
+            sym = sym3.astype(jnp.int32)
+
+            def taa256(src, idx):
+                # src [rr, Kc, 256] f32, idx [rr, Kc] -> src[..., idx]
+                i1 = jnp.clip(idx, 0, 127)[:, :, None]
+                i2 = jnp.clip(idx - 128, 0, 127)[:, :, None]
+                lo = jnp.take_along_axis(src[:, :, :128], i1, axis=2)
+                hi = jnp.take_along_axis(src[:, :, 128:], i2, axis=2)
+                return jnp.where(idx < 128, lo[:, :, 0], hi[:, :, 0])
+
+            r1 = taa256(cumhi1, jnp.maximum(sym - 1, 0))
+            r2 = taa256(cumhi1, sym)
+            c = jnp.where(
+                sym > 0, r1.astype(jnp.int32) + 1, jnp.zeros_like(sym)
+            )
+            f = (r2.astype(jnp.int32) + 1) - c
+        elif "search" in ablate:
             sym = slot & 255
             c = slot & 1023
             f = jnp.full_like(slot, 33)
         else:
+            slot_f = slot.astype(jnp.float32)
             ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
             sym3 = jnp.sum(ge, axis=-1)
             sym = sym3.astype(jnp.int32)
@@ -187,8 +329,8 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
         fptr_ref[q : q + 1, :] = rel[q : q + 1, :] + ptr_ref[q]
 
 
-def launch(body, states, dlen, S_b, cmap_pad, planes4, Smax=0, K=32,
-           rows=64, ablate=frozenset()):
+def launch(body, states, dlen, S_b, cmap_pad, planes4, coarse32, pairs,
+           Smax=0, K=32, rows=64, ablate=frozenset()):
     B, Mb = body.shape
     nsteps16 = -(-Smax // 16) * 16
     r4 = planes4.shape[0]
@@ -227,6 +369,8 @@ def launch(body, states, dlen, S_b, cmap_pad, planes4, Smax=0, K=32,
             pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((rows, Wout), lambda b: (b, 0), memory_space=pltpu.VMEM),
@@ -246,9 +390,33 @@ def launch(body, states, dlen, S_b, cmap_pad, planes4, Smax=0, K=32,
         bodyw, states.astype(jnp.int32), dlen.astype(jnp.int32)[:, None],
         S_b.astype(jnp.int32)[:, None], step_hi.astype(jnp.int32)[:, None],
         step_lo.astype(jnp.int32)[:, None], init_cl.astype(jnp.int32),
-        body_off.astype(jnp.int32)[:, None], cmap_pad, planes4,
+        body_off.astype(jnp.int32)[:, None], cmap_pad, planes4, coarse32,
+        pairs,
     )
     return out
+
+
+def build_v2_tables(freq257):
+    """coarse32 [r, 32] bf16 + pairs [9, 8, 128] i32 from the table."""
+    ft = np.asarray(freq257, dtype=np.int64)
+    urows, cmap = np.unique(ft, axis=0, return_inverse=True)
+    r = urows.shape[0]
+    cum = np.concatenate(
+        [np.zeros((r, 1), np.int64), np.cumsum(urows, axis=1)], axis=1
+    )  # [r, 257]
+    Bq = cum[:, 16::16] - 1  # [r, 16] boundaries cum[16(q+1)] - 1
+    coarse = np.concatenate([Bq >> 6, Bq & 63], axis=1)  # [r, 32]
+    pairs = np.zeros((9, 1024), np.int64)
+    # entry flat index cl*16 + h packs cum[cl][h*16+2j] | cum[..+2j+1]<<16
+    h = np.arange(16)
+    for j in range(9):
+        a = cum[:, np.minimum(h * 16 + 2 * j, 256)]       # [r, 16]
+        b = cum[:, np.minimum(h * 16 + 2 * j + 1, 256)]
+        pairs[j, : r * 16] = (a | (b << 16)).reshape(-1)
+    return (
+        jnp.asarray(coarse, jnp.bfloat16),
+        jnp.asarray(pairs.reshape(9, 8, 128), jnp.int32),
+    )
 
 
 def main():
@@ -263,14 +431,21 @@ def main():
     dlen = jnp.full((B,), L, jnp.int32)
     S_b = jnp.full((B,), Smax, jnp.int32)
     from honours_tpu.engine.pipeline import canned_o1_device_tables
+    from honours_tpu.tables.o1 import canned_o1_freqs
 
     tabs = canned_o1_device_tables()
+    coarse32, pairs = build_v2_tables(canned_o1_freqs())
 
     def sync(x):
         float(jnp.sum(jnp.ravel(x)[:1].astype(jnp.float32)))
 
     variants = [
         ("full", set()),
+        ("v2", {"v2"}),
+        ("v3", {"v3"}),
+        ("v5", {"v5"}),
+        ("v6", {"v6"}),
+        ("v7", {"v7"}),
         ("no-cf", {"cf"}),
         ("no-search", {"search"}),
         ("no-dot", {"dot", "search"}),
@@ -288,14 +463,15 @@ def main():
             )
         )
         t0 = time.time()
-        g = fn(body, states, dlen, S_b, tabs["cmap_pad"], tabs["planes_full"])
+        g = fn(body, states, dlen, S_b, tabs["cmap_pad"], tabs["planes_full"],
+               coarse32, pairs)
         sync(g)
         tc = time.time() - t0
         t0 = time.time()
         reps = 5
         for _ in range(reps):
             g = fn(body, states, dlen, S_b, tabs["cmap_pad"],
-                   tabs["planes_full"])
+                   tabs["planes_full"], coarse32, pairs)
         sync(g)
         t = (time.time() - t0) / reps
         print(f"{name:12s}: {t*1e3:7.1f} ms   (compile {tc:.0f}s)", flush=True)
