@@ -121,6 +121,7 @@ DEFAULT_METHODS = [
     "srans3_vbbe21_zd",
     "dstall_srans2",
     "drans_vbbe21_zd",
+    "dstall_drans",
     "hasgam_vbsse21_zdq",
     "zlib_hasgam_vbsse21_zdq",
     "zstd_hasgam_vbsse21_zdq",

@@ -65,6 +65,7 @@ def _ensure_loaded():
     from honours_tpu.codecs import (  # noqa: F401
         drans,
         dstall,
+        dstall_drans,
         exzd,
         flac,
         flats,

@@ -65,16 +65,22 @@ _STATIC = None
 
 def _fit_statics():
     """(cmap [257] i32, cmap_pad [3,128] i32, base [NB,256] i32) — the
-    bucket map is closed-form so these are true constants."""
+    bucket map is closed-form so these are true constants.
+
+    Cached as NUMPY arrays on purpose: the first call can happen inside
+    a jit trace (_drans_enc/_drans_dec), where jnp.asarray would return
+    a trace-local constant Tracer — caching that leaks it into every
+    later trace (UnexpectedTracerError, order-dependent across the
+    suite).  np constants embed safely into any trace."""
     global _STATIC
     if _STATIC is None:
         bm = np.asarray(bucket_of(np.arange(257, dtype=np.int64)))
         pad = np.zeros((3, 128), np.int64)
         pad.reshape(-1)[:257] = bm
         _STATIC = (
-            jnp.asarray(bm, jnp.int32),
-            jnp.asarray(pad, jnp.int32),
-            jnp.asarray(base_rows(), jnp.int32),
+            bm.astype(np.int32),
+            pad.astype(np.int32),
+            np.asarray(base_rows(), dtype=np.int32),
         )
     return _STATIC
 
@@ -152,7 +158,12 @@ def o1_prefix_hist(g3, ctx3, act3, S_b, T0_b):
 
     g3/ctx3 [B, K, Smax] i32, act3 bool, T0_b [B] i32.  Returns
     [NB, 256] i32, exact (chunked one-hot matmuls; every per-chunk cell
-    count < 2^17 so the f32 accumulation is integer-exact).
+    count <= 2^17 so the f32 accumulation is integer-exact).
+
+    The chunking walks the STEP axis and keeps rows intact, so under a
+    row-sharded mesh the contraction over B becomes per-device partial
+    histograms + one [64, 256] all-reduce — the multichip shared-fit
+    collective rides ICI instead of forcing a batch re-gather.
 
     Scale bound (ADVICE r4 item 3): the int32 accumulator wraps if one
     (bucket, symbol) cell exceeds 2^31 prefix positions, i.e. > 8.6 GB
@@ -165,32 +176,36 @@ def o1_prefix_hist(g3, ctx3, act3, S_b, T0_b):
     assert B * K * Smax < (1 << 31), (
         "per-batch prefix positions would overflow the int32 histogram"
     )
+    assert B <= _HCHUNK, "row count exceeds the exact-f32 chunk bound"
     t = jnp.arange(Smax, dtype=jnp.int32)[None, None, :]
     mask = act3 & (t < T0_b[:, None, None])
-    sym = g3.reshape(-1)
-    bkt = bucket_of(ctx3).reshape(-1)
-    m = mask.reshape(-1)
-    P = sym.shape[0]
-    Pp = -(-P // _HCHUNK) * _HCHUNK
-    sym = jnp.pad(sym, (0, Pp - P))
-    bkt = jnp.pad(bkt, (0, Pp - P))
-    m = jnp.pad(m, (0, Pp - P))
+    T = K * Smax
+    sym = g3.reshape(B, T)
+    bkt = bucket_of(ctx3).reshape(B, T)
+    m = mask.reshape(B, T)
+    ch = max(1, _HCHUNK // B)
+    Tp = -(-T // ch) * ch
+    sym = jnp.pad(sym, ((0, 0), (0, Tp - T)))
+    bkt = jnp.pad(bkt, ((0, 0), (0, Tp - T)))
+    m = jnp.pad(m, ((0, 0), (0, Tp - T)))
     i64 = jnp.arange(64, dtype=jnp.int32)
     i256 = jnp.arange(256, dtype=jnp.int32)
 
     def body(i, acc):
-        sl = lambda a: jax.lax.dynamic_slice(a, (i * _HCHUNK,), (_HCHUNK,))
+        sl = lambda a: jax.lax.dynamic_slice(a, (0, i * ch), (B, ch))
         s, b, mm = sl(sym), sl(bkt), sl(m)
-        ohb = ((b[:, None] == i64[None, :]) & mm[:, None]).astype(jnp.bfloat16)
-        ohs = (s[:, None] == i256[None, :]).astype(jnp.bfloat16)
+        ohb = (
+            (b[:, :, None] == i64[None, None, :]) & mm[:, :, None]
+        ).astype(jnp.bfloat16)
+        ohs = (s[:, :, None] == i256[None, None, :]).astype(jnp.bfloat16)
         c = jax.lax.dot_general(
-            ohb, ohs, dimension_numbers=(((0,), (0,)), ((), ())),
+            ohb, ohs, dimension_numbers=(((0, 1), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return acc + c.astype(jnp.int32)
 
     counts = jax.lax.fori_loop(
-        0, Pp // _HCHUNK, body, jnp.zeros((64, 256), jnp.int32)
+        0, Tp // ch, body, jnp.zeros((64, 256), jnp.int32)
     )
     return counts[:NB]
 
@@ -201,7 +216,7 @@ def o1_prefix_hist(g3, ctx3, act3, S_b, T0_b):
 
 
 @functools.partial(jax.jit, static_argnames=("emax",))
-def _drans_enc(sig, n, tabs_canned, emax: int):
+def _drans_enc(sig, n, tabs_canned, emax: int, member=None):
     from honours_tpu.engine.bits import rowwise_concat
     from honours_tpu.engine.pipeline import _zd_parts
 
@@ -218,6 +233,12 @@ def _drans_enc(sig, n, tabs_canned, emax: int):
     # must not contribute to the shared fit or to G, or every OTHER
     # row's group count would disagree with the decoder's
     include = parts["nex"] <= emax
+    if member is not None:
+        # dstall_drans branch groups: non-member rows still emit streams
+        # (the caller discards them) but contribute nothing to the
+        # shared fit or to G, so the stored G matches the decoder's
+        # flag-derived membership
+        include = include & member
     counts = o1_prefix_hist(
         g3, ctx3, act3 & include[:, None, None], S_b, T0_b
     )
@@ -251,14 +272,16 @@ def _drans_enc(sig, n, tabs_canned, emax: int):
     return rowwise_concat(segs, total)
 
 
-def press_drans_batch(sig, n, tabs_canned, emax: int = None):
+def press_drans_batch(sig, n, tabs_canned, emax: int = None, member=None):
     """Batched drans_vbbe21_zd encode -> (stream [B, M] u8, len [B]).
 
     One jitted pass; the fit runs on device.  `tabs_canned` from
-    pipeline.canned_o1_device_tables()."""
+    pipeline.canned_o1_device_tables().  `member` [B] bool restricts the
+    shared fit and the G count to a sub-group (dstall_drans branches);
+    non-member rows still produce (discardable) streams."""
     B, L = sig.shape
     emax = emax or L
-    return _drans_enc(sig, n, tabs_canned, emax)
+    return _drans_enc(sig, n, tabs_canned, emax, member)
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +374,7 @@ def _merge_grids(grid1, grid2, T0_b, S_b, Smax: int, K: int, T2: int):
     jax.jit, static_argnames=("L", "emax", "rows", "T1", "T2")
 )
 def _drans_dec(stream, n, tabs_canned, L: int, emax: int, rows: int,
-               T1: int, T2: int):
+               T1: int, T2: int, member=None):
     """Single-jit decode: parse + canned prefix walk + device fit +
     fitted suffix walk + merge + fill.  Returns ([B, L] int16, g_ok)."""
     from honours_tpu.engine.pipeline import _zd_merge
@@ -370,6 +393,8 @@ def _drans_dec(stream, n, tabs_canned, L: int, emax: int, rows: int,
     S_b = read_u32le(stream, base_off).astype(jnp.int32)
     T0_b = -(-S_b // PREFIX_DEN)
     include = parsed["nex"] <= emax
+    if member is not None:
+        include = include & member
     states = _rd_states(stream, base_off, K)
 
     if rows:
@@ -447,10 +472,14 @@ def _drans_dec(stream, n, tabs_canned, L: int, emax: int, rows: int,
     return out, g_ok
 
 
-def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
+def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None,
+                        member=None):
     """Batched drans_vbbe21_zd decode -> [B, L] int16.  Must receive the
     same batch grouping the encoder used (the fit is batch-shared);
-    raises ValueError when any stream's G header disagrees."""
+    raises ValueError when any stream's G header disagrees.  `member`
+    [B] bool restricts the shared fit / G check to a sub-group
+    (dstall_drans branches); non-member rows decode to garbage the
+    caller discards."""
     import os
 
     from honours_tpu.engine.rans_o1_pallas import pick_dec_rows
@@ -466,7 +495,8 @@ def depress_drans_batch(stream, n, tabs_canned, L: int, emax: int = None):
             B, L, Mb
         )
         rows = r if (r and B % r == 0) else 0
-    out, g_ok = _drans_dec(stream, n, tabs_canned, L, emax, rows, T1, T2)
+    out, g_ok = _drans_dec(stream, n, tabs_canned, L, emax, rows, T1, T2,
+                           member)
     if not bool(jnp.all(g_ok)):
         bad = np.flatnonzero(~np.asarray(g_ok))
         raise ValueError(

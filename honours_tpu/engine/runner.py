@@ -41,6 +41,7 @@ ENGINE_CODECS = {
     "svb0124_zd": ("svb32_zd:0124", "svb32_zd:0124"),
     "hasgam_vbsse21_zdq": ("exzd", "exzd"),
     "dstall_srans2": ("dstall", "dstall"),
+    "dstall_drans": ("dstall_drans", "dstall_drans"),
     "rice_vbe21_zd": ("rice_zd:vbe21", None),
     "rice_vbbe21_zd": ("rice_zd:vbbe21", None),
     "rice_vbsbe21_zd": ("rice_zd:vbsbe21", None),
@@ -138,6 +139,12 @@ def _press_bucket(sig, n, kind: str):
 
         st, sl = press_dstall_batch(sigj, nj, canned_o1_device_tables(),
                                     _emax(L))
+    elif kind == "dstall_drans":
+        from honours_tpu.engine.dstall_drans import press_dstall_drans_batch
+
+        st, sl = press_dstall_drans_batch(sigj, nj,
+                                          canned_o1_device_tables(),
+                                          _emax(L))
     elif kind.startswith("rice_zd:"):
         from honours_tpu.engine.rice import press_rice_vb_zd_batch
 
@@ -198,6 +205,14 @@ def _depress_bucket(buf, n, kind: str, L: int):
 
         out = depress_dstall_batch(bufj, nj, canned_o1_device_tables(), L,
                                    _emax(L))
+    elif kind == "dstall_drans":
+        from honours_tpu.engine.dstall_drans import (
+            depress_dstall_drans_batch,
+        )
+
+        out = depress_dstall_drans_batch(bufj, nj,
+                                         canned_o1_device_tables(), L,
+                                         _emax(L))
     else:
         raise KeyError(kind)
     return np.asarray(out)
@@ -220,6 +235,20 @@ def _nex_overflowed(blob: bytes, codec_name: str, emax: int) -> bool:
         if len(blob) < 8:
             return False
         (nex,) = struct.unpack_from("<I", blob, 4)
+        return nex > emax
+    if codec_name == "dstall_drans":
+        # inner drans blobs carry [G:u16][zd0:u16][nex:u32]
+        if len(blob) < 13:
+            return False
+        if blob[0]:
+            (stall_len,) = struct.unpack_from("<I", blob, 5)
+            (nex_s,) = struct.unpack_from("<I", blob, 13)
+            ns_off = 9 + stall_len + 4
+            if len(blob) < ns_off + 8:
+                return True  # malformed for the cap -> host path
+            (nex_n,) = struct.unpack_from("<I", blob, ns_off + 4)
+            return nex_s > emax or nex_n > emax
+        (nex,) = struct.unpack_from("<I", blob, 9)
         return nex > emax
     if codec_name == "dstall_srans2":
         # both inner srans2 blobs carry their vbbe21 nex at blob+2
@@ -303,6 +332,13 @@ def depress_signals_tpu(streams, lengths, codec_name: str, max_b: int = 256):
                 # groups — decode them individually; the engine batch
                 # group-decodes only the engine-written rows
                 host_rows[j] = host.depress(blob, int(b.n[j]))
+            elif codec_name == "dstall_drans":
+                from honours_tpu.codecs.dstall_drans import _gmax
+
+                if _gmax(blob) <= 1:
+                    # same per-read-group rule for the stall-aware
+                    # flagship's branch blobs
+                    host_rows[j] = host.depress(blob, int(b.n[j]))
         W = max(len(r) for r in rows)
         W = -(-W // 128) * 128
         buf = np.zeros((len(rows), W), np.uint8)
