@@ -30,3 +30,15 @@ def test_roundtrip_fixture(name, fixture_reads):
     for sig in fixture_reads:
         out = codec.depress(codec.press(sig), sig.size)
         assert np.array_equal(out, sig), name
+
+
+def test_flac_size_parity_gate(fixture_reads):
+    """FLAC capability row (COVERAGE.md §2.1): our from-scratch fixed-
+    predictor + Rice codec is a declared permanent deviation from the
+    libFLAC container; this gate pins its size parity — fixture ratio
+    must stay >= 2.884 against libFLAC's 2.893 at the reference's P11
+    settings (press/press.c:2188-2528, press/test.h:97-98)."""
+    codec = registry.get("flac")
+    raw = sum(s.size * 2 for s in fixture_reads)
+    comp = sum(len(codec.press(s)) for s in fixture_reads)
+    assert raw / comp >= 2.884, raw / comp
