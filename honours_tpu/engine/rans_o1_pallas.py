@@ -68,6 +68,18 @@ def pick_dec_rows(B: int, N: int, Mb: int | None = None) -> int:
     symbol on this VPU; further decode throughput needs a format-level
     change (narrower materialization), not more kernel tuning.
 
+    Round-5 follow-ups, both measured on chip and both losing:
+    - c/f via bf16 one-hot MXU dots against static f-planes
+      (HTPU_DEC_CF=dots): srans2 dec e2e 84.8 ms vs 74.4 ms masked —
+      the per-step dot launches + bf16 casts cost more than the six
+      removed f32 passes.
+    - the format-level "narrow window" candidate (frequency floor so a
+      32-slot window holds <= 2 symbol boundaries) costs >= 10% ratio
+      on the canned o1 table (many contexts carry hundreds of tiny
+      freqs) — ratio-neutral narrowing does not exist for this model.
+    Conclusion stands: ~0.45 GB/s is the roofline of the exact
+    256-symbol order-1 format on this VPU generation.
+
     `Mb` = actual stream width in bytes (the kernel stages the WHOLE
     stream per row, not just ~2N body bytes); returns 0 when even the
     smallest block cannot fit, signalling callers to use the XLA path.
@@ -155,11 +167,20 @@ def o1_fc_gather_pallas(sym, ctx, cmap_pad, fc_tab, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
+#: c/f extraction scheme: "dots" = bf16 one-hot MXU dots against static
+#: f-planes; "masked" = r4's full-width f32 masked-sum pair.  Chip A/B
+#: via HTPU_DEC_CF; the faster measured scheme is the default.
+import os as _os
+
+CF_MODE = _os.environ.get("HTPU_DEC_CF", "masked")
+
+
 def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
-                   cl0_ref, off_ref, cmap_ref, planes_ref,
+                   cl0_ref, off_ref, cmap_ref, planes_ref, fpl_ref,
                    out_ref, fst_ref, fptr_ref, ptr_ref, win_ref,
                    *, nsteps: int, K: int, r4: int, order0: bool = False,
-                   rr: int = R):
+                   rr: int = R, cf_mode: str = None):
+    cf_mode = cf_mode or CF_MODE
     Kc = K
     lanes = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc), 1)
     tri = (
@@ -210,22 +231,58 @@ def _decode_kernel(bodyw_ref, states_ref, dlen_ref, sb_ref, se_ref, t0_ref,
             ).reshape(rr, Kc, 512)
             cumhi1 = rows[:, :, :256] * 64.0 + rows[:, :, 256:]  # cum[s+1]-1
         slot_f = slot.astype(jnp.float32)
-        ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
-        # c and f via SINGLE-POSITION masked sums instead of max/min
-        # scans (r4 ablation: the max/min pair cost ~35 ms of the 57 ms
-        # kernel; a masked sum prices like the sym sum, ~3.5 ms).  The
-        # one-hot masks come from iota==sym compares — no rolls, no
-        # minor-dim reshapes:
-        #   c = cumhi1[sym-1] + 1 (0 when sym == 0), f = cum[sym+1] - c
-        sym3 = jnp.sum(ge, axis=-1)
-        sym = sym3.astype(jnp.int32)
-        i256 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, 256), 2)
-        oh1 = (i256 == (sym - 1)[:, :, None]).astype(jnp.float32)
-        ohs = (i256 == sym[:, :, None]).astype(jnp.float32)
-        r1 = jnp.sum(oh1 * cumhi1, axis=-1)
-        r2 = jnp.sum(ohs * cumhi1, axis=-1)
-        c = r1.astype(jnp.int32) + (sym > 0).astype(jnp.int32)
-        f = (r2.astype(jnp.int32) + 1) - c
+        if cf_mode == "dots":
+            # c/f via bf16 one-hot MXU dots against the static f-planes:
+            #   c = sum_{s<sym} f[cl, s]  = ge . fpl   (cum[sym] by def)
+            #   f =             f[cl, sym] = eq . fpl
+            # Chip A/B (r5, [256, 64Ki]): dec e2e 84.8 ms vs the
+            # masked-sum pair's 74 ms — the dot launches + bf16 casts
+            # cost more than the removed f32 passes, so "masked" stays
+            # the default; kept selectable for future re-measurement.
+            ge_bf = (slot_f[:, :, None] > cumhi1).astype(jnp.bfloat16)
+            sym_bf = jnp.sum(ge_bf, axis=-1)
+            sym = sym_bf.astype(jnp.int32)
+            i256 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, 256), 2)
+            eq_bf = (i256 == sym[:, :, None]).astype(jnp.bfloat16)
+            fpl = fpl_ref[:, :]  # [256, 128]: [f_hi | pad | f_lo] bf16
+            tg = jnp.dot(
+                ge_bf.reshape(rr * Kc, 256), fpl,
+                preferred_element_type=jnp.float32,
+            )
+            te = jnp.dot(
+                eq_bf.reshape(rr * Kc, 256), fpl,
+                preferred_element_type=jnp.float32,
+            )
+            if r4 == 1:
+                c2 = tg[:, 0] * 64.0 + tg[:, 64]
+                f2 = te[:, 0] * 64.0 + te[:, 64]
+            else:
+                ohf = oh2.astype(jnp.float32)  # [rr*Kc, r4] one-hot
+                c2 = jnp.sum(
+                    ohf * (tg[:, :r4] * 64.0 + tg[:, 64 : 64 + r4]),
+                    axis=-1,
+                )
+                f2 = jnp.sum(
+                    ohf * (te[:, :r4] * 64.0 + te[:, 64 : 64 + r4]),
+                    axis=-1,
+                )
+            c = c2.reshape(rr, Kc).astype(jnp.int32)
+            f = f2.reshape(rr, Kc).astype(jnp.int32)
+        else:
+            # c and f via SINGLE-POSITION masked sums (r4 ablation: a
+            # masked sum prices like the sym sum; the max/min pair cost
+            # ~35 ms).  One-hot masks from iota==sym compares:
+            #   c = cumhi1[sym-1] + 1 (0 when sym == 0), f = cum[sym+1]-c
+            ge = (slot_f[:, :, None] > cumhi1).astype(jnp.float32)
+            sym3 = jnp.sum(ge, axis=-1)
+            sym = sym3.astype(jnp.int32)
+            i256 = jax.lax.broadcasted_iota(jnp.int32, (rr, Kc, 256), 2)
+            oh1 = (i256 == (sym - 1)[:, :, None]).astype(jnp.float32)
+            ohs = (i256 == sym[:, :, None]).astype(jnp.float32)
+            r1 = jnp.sum(oh1 * cumhi1, axis=-1)
+            r2 = jnp.sum(ohs * cumhi1, axis=-1)
+            c = r1.astype(jnp.int32) + (sym > 0).astype(jnp.int32)
+            f = (r2.astype(jnp.int32) + 1) - c
         newx = f * (x >> PROB_BITS) + slot - c
         x = jnp.where(active, newx, x)
         if not order0:
@@ -349,6 +406,24 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, planes4,
     assert K % 4 == 0 and 2 * K <= 128 and (4 * K) % 128 == 0, K
     nsteps16 = -(-Smax // 16) * 16
     r4 = planes4.shape[0]
+    assert r4 <= 64, r4  # f-plane halves live in fixed 64-lane blocks
+    # static f-planes for the c/f dots, derived from the cum planes:
+    # f[r, s] = cum_hi[r, s] - cum_hi[r, s-1] (cum_hi[-1] = -1), laid out
+    # [256, 128] = [f_hi | pad | f_lo | pad] so the kernel slices
+    # lane-aligned 64-column halves
+    v = (
+        planes4[:, :256].astype(jnp.float32) * 64.0
+        + planes4[:, 256:].astype(jnp.float32)
+    ).astype(jnp.int32)
+    fvals = v - jnp.concatenate(
+        [jnp.full((r4, 1), -1, jnp.int32), v[:, :-1]], axis=1
+    )
+    fpl = (
+        jnp.zeros((256, 128), jnp.int32)
+        .at[:, :r4].set((fvals >> 6).T)
+        .at[:, 64 : 64 + r4].set((fvals & 63).T)
+        .astype(jnp.bfloat16)
+    )
     if body_off is None:
         body_off = jnp.zeros((B,), jnp.int32)
     if step_lo is None:
@@ -391,6 +466,8 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, planes4,
             pl.BlockSpec((rows, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((rows, Wout), lambda b: (b, 0),
@@ -420,6 +497,7 @@ def _decode_call(body, states, dlen, S_b, cmap_pad, planes4,
         body_off.astype(jnp.int32)[:, None],
         cmap_pad,
         planes4,
+        fpl,
     )
     return out, nsteps16, fst, fptr[:, 0]
 
