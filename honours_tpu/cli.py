@@ -6,7 +6,7 @@
   python -m honours_tpu codecs
 
 `press` rewrites a SLOW5/BLOW5 file with the signal field compressed by
-any registered codec (default: the srans flagship); `depress` restores a
+any registered codec (default: the drans flagship); `depress` restores a
 stock BLOW5 (svb-zd signal, zlib records) readable by standard tooling.
 """
 

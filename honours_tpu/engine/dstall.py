@@ -10,6 +10,14 @@ branch decodes and re-interleaves with a monotone expansion.
 Byte-exact with codecs.dstall.DstallSrans2Codec wherever the batched
 segmenter and the C oracle agree on boundaries (they match on real
 signal; segment/__init__.py documents the knife-edge caveat).
+
+Encode cost (r5 chip profile, tools/chip_dstall.py, [256, 64Ki]):
+226 ms e2e = 3 x 28 ms srans2 encodes (mandated by the reference's
+encode-both-then-min-pick semantics, press/press.c:8003-8019) + 18 ms
+segmentation scan + ~124 ms of branch extraction (monotone_compact,
+rowwise shifts) and 6-segment assembly walks.  The throughput ceiling
+under these semantics is srans2_enc/3 ~ 0.4 GB/s; closing the walk
+overhead is the remaining lever, the three encodes are not.
 """
 
 from __future__ import annotations
