@@ -23,8 +23,7 @@ def test_bench_table_in_sync():
 
 def test_claimed_test_count_matches_collection():
     """The README layout block claims a test count; assert it equals
-    what pytest actually collects (within the growth slack of the
-    run that wrote it — exact equality is required)."""
+    exactly what pytest collects."""
     text = (ROOT / "README.md").read_text()
     m = re.search(r"tests/\s+(\d+) tests", text)
     assert m, "README.md no longer states the test count"
