@@ -58,6 +58,51 @@ def _split_batch(sig, n):
     return ok, start, length
 
 
+def _assemble_split(use, hdr8, st_s, sl_s, st_n, sl_n, st_p, sl_p,
+                    total: int):
+    """Narrow two-stage assembly of the split stream layout
+    [flag | hdr8 | st_s | u32 tail_len | tail].
+
+    The one-shot formulation (stack all three branch buffers, compact)
+    stacks to ~3x the branch width — at [256, 64Ki] that is 467K
+    columns, past the Pallas walk width cap (Mosaic compile time scales
+    with width), so it fell back to the 105 ms XLA log-shift path.
+    Here: min-pick the tail bytes FIRST (st_n vs st_p are alternatives,
+    never both emitted), concat the head and the tail separately, and
+    land the tail after the head with one monotone expansion — three
+    walks, each ~(branch width + 13) wide.  `total` must be a sound
+    bound on the emitted length (the expansion drops overflow)."""
+    B, Ms = st_s.shape
+    Wt = max(st_n.shape[1], st_p.shape[1])
+    st_n = jnp.pad(st_n, ((0, 0), (0, Wt - st_n.shape[1])))
+    st_p = jnp.pad(st_p, ((0, 0), (0, Wt - st_p.shape[1])))
+    tail = jnp.where(use[:, None], st_n, st_p)
+    tail_len = jnp.where(use, sl_n, sl_p)
+    out1, len1 = rowwise_concat(
+        [
+            (use.astype(jnp.uint8)[:, None], jnp.full((B,), 1, jnp.int32)),
+            (hdr8, jnp.where(use, 8, 0)),
+            (st_s, jnp.where(use, sl_s, 0)),
+        ],
+        9 + Ms,
+    )
+    out2, len2 = rowwise_concat(
+        [
+            (u32le_bytes(tail_len), jnp.full((B,), 4, jnp.int32)),
+            (tail, tail_len),
+        ],
+        4 + Wt,
+    )
+    W = max(total, out2.shape[1], out1.shape[1])
+    pos2 = jnp.arange(out2.shape[1], dtype=jnp.int32)[None, :]
+    valid = pos2 < len2[:, None]
+    sh = jnp.broadcast_to(jnp.where(valid, len1[:, None], 0), out2.shape)
+    exp, cov = monotone_expand(out2, sh, valid, W)
+    out1p = jnp.pad(out1, ((0, 0), (0, W - out1.shape[1])))
+    out = jnp.where(cov, exp, out1p)
+    return out[:, :total], len1 + len2
+
+
 @functools.partial(jax.jit, static_argnames=("emax",))
 def press_dstall_batch(sig, n, tabs, emax: int = None):
     """Batched dstall_srans2 encode -> (stream [B, M] u8, len [B])."""
@@ -89,16 +134,11 @@ def press_dstall_batch(sig, n, tabs, emax: int = None):
     hdr8 = jnp.concatenate(
         [u16le_bytes(start), u16le_bytes(length), u32le_bytes(sl_s)], axis=1
     )
-    segs = [
-        (use.astype(jnp.uint8)[:, None], jnp.full((B,), 1, jnp.int32)),
-        (hdr8, jnp.where(use, 8, 0)),
-        (st_s, jnp.where(use, sl_s, 0)),
-        (u32le_bytes(jnp.where(use, sl_n, sl_p)), jnp.full((B,), 4, jnp.int32)),
-        (st_n, jnp.where(use, sl_n, 0)),
-        (st_p, jnp.where(use, 0, sl_p)),
-    ]
-    total = 1 + 8 + st_s.shape[1] + 4 + max(st_n.shape[1], st_p.shape[1]) + 8
-    return rowwise_concat(segs, total)
+    # the min-pick guarantees emitted total <= plain_total <= 5 + sl_p,
+    # so 13 + Ms bounds every row's emitted length
+    total = 13 + st_s.shape[1] + 8
+    return _assemble_split(use, hdr8, st_s, sl_s, st_n, sl_n, st_p, sl_p,
+                           total)
 
 
 @functools.partial(jax.jit, static_argnames=("L", "emax"))

@@ -32,7 +32,7 @@ from honours_tpu.engine.bits import (
     u32le_bytes,
 )
 from honours_tpu.engine.drans import depress_drans_batch, press_drans_batch
-from honours_tpu.engine.dstall import _split_batch
+from honours_tpu.engine.dstall import _assemble_split, _split_batch
 from honours_tpu.engine.permute import (
     monotone_compact,
     monotone_expand,
@@ -54,21 +54,23 @@ def _branch_signals(sig, n, ok, start, length):
     return stall_sig, n_stall, ns_sig.astype(jnp.int16), jnp.maximum(n - length, 1)
 
 
-def _assemble(use, start, length, st_s, sl_s, st_n, sl_n, st_p, sl_p):
-    B = use.shape[0]
+def _assemble(use, start, length, st_s, sl_s, st_n, sl_n, st_p, sl_p,
+              L: int):
     hdr8 = jnp.concatenate(
         [u16le_bytes(start), u16le_bytes(length), u32le_bytes(sl_s)], axis=1
     )
-    segs = [
-        (use.astype(jnp.uint8)[:, None], jnp.full((B,), 1, jnp.int32)),
-        (hdr8, jnp.where(use, 8, 0)),
-        (st_s, jnp.where(use, sl_s, 0)),
-        (u32le_bytes(jnp.where(use, sl_n, sl_p)), jnp.full((B,), 4, jnp.int32)),
-        (st_n, jnp.where(use, sl_n, 0)),
-        (st_p, jnp.where(use, 0, sl_p)),
-    ]
-    total = 1 + 8 + st_s.shape[1] + 4 + max(st_n.shape[1], st_p.shape[1]) + 8
-    return rowwise_concat(segs, total)
+    # Sound emitted-total bound for the narrow assembly: unlike
+    # dstall_srans2's exact min-pick, the pick here is frozen from the
+    # TRIAL sizes and the final shared-fit re-encode may drift, so bound
+    # affinely instead: a drans stream over `len` values emits at most
+    # 2*len body bytes plus the width formula's fixed part
+    # (over = Md - 2*(L-1)); the two split branches' contents sum to n,
+    # so 13 + 2*(L-1) + 2*over (+ lane-padding slack) covers every row.
+    Md = max(st_n.shape[1], st_p.shape[1])
+    over = max(Md - 2 * (L - 1), 0)
+    total = 13 + 2 * (L - 1) + 2 * over + 1024
+    return _assemble_split(use, hdr8, st_s, sl_s, st_n, sl_n, st_p, sl_p,
+                           total)
 
 
 def press_dstall_drans_batch(sig, n, tabs, emax: int = None):
@@ -85,7 +87,8 @@ def press_dstall_drans_batch(sig, n, tabs, emax: int = None):
     if not okh.any():
         use = jnp.zeros((B,), bool)
         return _assemble(use, zero, zero, jnp.zeros((B, 16), jnp.uint8),
-                         zero, jnp.zeros((B, 16), jnp.uint8), zero, st_p, sl_p)
+                         zero, jnp.zeros((B, 16), jnp.uint8), zero, st_p,
+                         sl_p, L)
 
     stall_sig, n_stall, ns_sig, n_ns = _branch_signals(sig, n, ok, start, length)
     st_s, sl_s = press_drans_batch(stall_sig, n_stall, tabs, emax, member=ok)
@@ -100,7 +103,7 @@ def press_dstall_drans_batch(sig, n, tabs, emax: int = None):
         st_p, sl_p = press_drans_batch(sig, n, tabs, emax, member=~use)
     return _assemble(use, jnp.where(use, start, 0),
                      jnp.where(use, length, 0), st_s, sl_s, st_n, sl_n,
-                     st_p, sl_p)
+                     st_p, sl_p, L)
 
 
 def depress_dstall_drans_batch(stream, n, tabs, L: int, emax: int = None):

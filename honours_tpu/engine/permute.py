@@ -227,8 +227,20 @@ def seg_or_scan(values, seg_id):
 def rowwise_shift_left(buf, shift, width: int, fill=0):
     """Shift each row left by its own scalar amount; out width `width`."""
     B, M = buf.shape
-    a = buf
     shift = shift.astype(jnp.int32)
+    pp = _pallas_walks()
+    if pp is not None and fill == 0 and M <= (
+        pp.MAX_COLS if buf.dtype == jnp.uint8 else pp.MAX_COLS_WIDE
+    ):
+        # A whole-row left shift IS a monotone compaction: keep the row
+        # suffix [shift, M) and pack it to column 0 — ONE VMEM-resident
+        # walk instead of log2(M) predicated full-HBM rolls.
+        cols = jnp.arange(M, dtype=jnp.int32)[None, :]
+        out, _ = pp.compact_walk(buf, cols >= shift[:, None])
+        if width > M:
+            out = jnp.pad(out, ((0, 0), (0, width - M)))
+        return out[:, :width]
+    a = buf
     for k in range(_nbits(M)):
         bit = 1 << k
         rolled = _shift_left(a, bit, fill)
@@ -243,11 +255,28 @@ def rowwise_shift_right(buf, shift, width: int, fill=0):
     static rolls).  buf [B, M] -> out [B, width]; bytes shifted past the
     end are dropped."""
     B, M = buf.shape
+    shift = shift.astype(jnp.int32)
+    pp = _pallas_walks()
+    if pp is not None and fill == 0 and width <= (
+        pp.MAX_COLS if buf.dtype == jnp.uint8 else pp.MAX_COLS_WIDE
+    ):
+        # A whole-row right shift IS a monotone expansion with a
+        # constant per-row shift (elements that would land past `width`
+        # are invalidated) — ONE VMEM-resident walk instead of
+        # log2(width) predicated full-HBM rolls.
+        if width > M:
+            buf = jnp.pad(buf, ((0, 0), (0, width - M)))
+        elif width < M:
+            buf = buf[:, :width]
+        cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+        valid = cols < (width - shift[:, None])
+        sh = jnp.broadcast_to(jnp.where(valid, shift[:, None], 0), buf.shape)
+        out, _ = pp.expand_walk(buf, sh, valid, width)
+        return out
     if width > M:
         buf = jnp.pad(buf, ((0, 0), (0, width - M)), constant_values=fill)
     elif width < M:
         buf = buf[:, :width]
-    shift = shift.astype(jnp.int32)
     a = buf
     for k in range(_nbits(width)):
         bit = 1 << k

@@ -28,16 +28,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: widest row the kernels accept (rows per program shrink with width so
-#: live VMEM — scratch channels + one roll temp — stays in budget)
+#: widest row the kernels accept.  NOT a VMEM limit (rows per program
+#: adapt below): the walk body unrolls nbits passes over the whole row's
+#: vregs, so Mosaic compile time scales with width — a 467K-wide
+#: 1-channel walk measured > 9 min to compile (r5).  Callers needing
+#: wider moves should restructure (see engine/dstall.py's two-stage
+#: narrow assembly) rather than raise these.
 MAX_COLS = 1 << 18       # 1-channel (u8-fused / shift-payload) walks
 MAX_COLS_WIDE = 1 << 17  # 2-channel (wide payload) walks
 R = 8  # max rows per program (int32 sublane tile)
-def _vmem_limit(Np: int, nch: int) -> int:
+
+
+def _pick_rows(Np: int, nch: int) -> int:
+    """Largest rows-per-program whose estimated live VMEM fits the
+    100 MiB scoped budget (see _vmem_limit's 3.2-buffers/channel
+    measurement)."""
+    for rows in (8, 4, 2, 1):
+        if rows * Np * 4 * (3 * nch + 2) <= (100 << 20):
+            return rows
+    return 1
+
+
+def _vmem_limit(Np: int, nch: int, rows: int = R) -> int:
     """Scoped-VMEM limit for a walk: measured live ~= 3.2 buffers/channel
     at rows=8 (scratch + roll temp + in-flight DMA).  v5e has 128 MiB of
     VMEM; the compiler's 16 MiB default is just a default."""
-    need = R * Np * 4 * (3 * nch + 2)
+    need = rows * Np * 4 * (3 * nch + 2)
     return int(min(100 << 20, max(16 << 20, need)))
 
 
@@ -113,7 +129,7 @@ def _walk(chans, sb: int, left: bool, nbits: int, interpret: bool = False):
     B, N = chans[0].shape
     Np = -(-N // 128) * 128
     nch = len(chans)
-    rows = R
+    rows = _pick_rows(Np, nch)
     Bp = -(-B // rows) * rows
     padded = [
         jnp.pad(c.astype(jnp.int32), ((0, Bp - B), (0, Np - N)))
@@ -135,7 +151,7 @@ def _walk(chans, sb: int, left: bool, nbits: int, interpret: bool = False):
         scratch_shapes=[pltpu.VMEM((rows, Np), jnp.int32) for _ in range(nch)]
         + [pltpu.SemaphoreType.DMA((nch,))],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(Np, nch)
+            vmem_limit_bytes=_vmem_limit(Np, nch, rows)
         ),
         interpret=interpret,
     )(*padded)

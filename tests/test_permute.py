@@ -156,3 +156,58 @@ def test_pallas_walks_match_xla_interpret():
     e2, a2 = PP.expand_walk(o1.astype(jnp.int32), s1, validc, 512, interpret=True)
     assert np.array_equal(np.asarray(e1), np.asarray(e2))
     assert np.array_equal(np.asarray(a1), np.asarray(a2))
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int32])
+def test_rowwise_shift_left_walk_route_matches_xla(dtype):
+    """The TPU route for rowwise_shift_left is compact_walk with
+    keep = cols >= shift; verify the formula (interpret mode) against
+    the XLA binary-roll path for u8 and wide payloads, incl. shift > M
+    (row fully dropped) and negative wide values."""
+    from honours_tpu.engine import permute_pallas as pp
+    from honours_tpu.engine.permute import rowwise_shift_left
+
+    rng = np.random.default_rng(3)
+    B, M, W = 8, 160, 200
+    buf = rng.integers(0, 200, (B, M)).astype(dtype)
+    if dtype == np.int32:
+        buf[0] -= 150  # negative payloads ride the wide channel
+    shift = rng.integers(0, M + 8, (B,)).astype(np.int32)
+    shift[1] = M + 5  # past-the-end: whole row drops
+    cols = np.arange(M, dtype=np.int32)[None, :]
+    out_w, _ = pp.compact_walk(
+        jnp.asarray(buf), jnp.asarray(cols >= shift[:, None]), interpret=True
+    )
+    out_w = np.pad(np.asarray(out_w), ((0, 0), (0, W - M)))[:, :W]
+    ref = np.asarray(
+        rowwise_shift_left(jnp.asarray(buf), jnp.asarray(shift), W)
+    )
+    np.testing.assert_array_equal(out_w, ref)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int32])
+def test_rowwise_shift_right_walk_route_matches_xla(dtype):
+    """The TPU route for rowwise_shift_right is expand_walk with a
+    constant per-row shift and overflow columns invalidated; verify the
+    formula (interpret mode) against the XLA binary-roll path."""
+    from honours_tpu.engine import permute_pallas as pp
+
+    rng = np.random.default_rng(4)
+    B, M, W = 8, 60, 97
+    buf = rng.integers(0, 200, (B, M)).astype(dtype)
+    if dtype == np.int32:
+        buf[0] -= 150
+    shift = rng.integers(0, W + 8, (B,)).astype(np.int32)
+    shift[1] = W + 3  # everything shifted out
+    padded = np.pad(buf, ((0, 0), (0, W - M)))
+    cols = np.arange(W, dtype=np.int32)[None, :]
+    valid = cols < (W - shift[:, None])
+    sh = np.where(valid, shift[:, None], 0).astype(np.int32)
+    out_w, _ = pp.expand_walk(
+        jnp.asarray(padded), jnp.asarray(np.broadcast_to(sh, padded.shape)),
+        jnp.asarray(valid), W, interpret=True,
+    )
+    ref = np.asarray(
+        rowwise_shift_right(jnp.asarray(buf), jnp.asarray(shift), W)
+    )
+    np.testing.assert_array_equal(np.asarray(out_w), ref)
